@@ -1,0 +1,101 @@
+"""Convergence observability figures.
+
+Produces the reference's three convergence-study artifacts
+(utils/t2map_utils.py:115-292): sampled-voxel loss curves, step-size curves
+(log-y), and an iterations-vs-final-loss scatter, all colored by fitted T2.
+The data comes from the solver's lax.scan traces instead of per-voxel Python
+callbacks, so tracing costs nothing on the full-volume fit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.cm as cm  # noqa: E402
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def _norm_cmap(values):
+    vmin, vmax = float(np.min(values)), float(np.max(values))
+    if vmin == vmax:
+        vmax = vmin + 1.0
+    return plt.Normalize(vmin=vmin, vmax=vmax), cm.jet
+
+
+def _trace_lines(ax, series, active, t2_values, norm, cmap):
+    for j in range(series.shape[1]):
+        n_act = int(active[:, j].sum())
+        ax.plot(range(max(n_act, 1)), series[: max(n_act, 1), j],
+                color=cmap(norm(t2_values[j])))
+
+
+def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
+                           trace_t2: np.ndarray, n_iter: np.ndarray,
+                           final_fun: np.ndarray, all_t2: np.ndarray,
+                           sub: str, ses: str, sim: str, fit: str) -> list:
+    """Write the three convergence figures; returns the file paths."""
+    os.makedirs(ada_path, exist_ok=True)
+    paths = []
+    f_val = np.asarray(traces["f_val"])
+    step = np.asarray(traces["step_size"])
+    active = np.asarray(traces["active"])
+
+    norm, cmap = _norm_cmap(trace_t2)
+
+    # 1. loss curves
+    fig, ax = plt.subplots(figsize=(12, 6))
+    _trace_lines(ax, f_val, active, trace_t2, norm, cmap)
+    sm = cm.ScalarMappable(cmap=cmap, norm=norm)
+    sm.set_array([])
+    fig.colorbar(sm, ax=ax).set_label("T2 Value")
+    ax.set_xlabel("Iteration")
+    ax.set_ylabel("Objective Function Value (Loss)")
+    ax.set_title("Convergence of Sampled Voxels Colored by T2 Value")
+    ax.grid(True)
+    plt.tight_layout()
+    p = os.path.join(ada_path, f"convergence_sampled_voxels_by_t2_{sub}_{ses}_sim-{sim}_{fit}.png")
+    plt.savefig(p)
+    plt.close(fig)
+    paths.append(p)
+
+    # 2. step-size curves (log y)
+    fig, ax = plt.subplots(figsize=(12, 6))
+    _trace_lines(ax, np.maximum(step, 1e-12), active, trace_t2, norm, cmap)
+    sm = cm.ScalarMappable(cmap=cmap, norm=norm)
+    sm.set_array([])
+    fig.colorbar(sm, ax=ax).set_label("T2 Value")
+    ax.set_xlabel("Iteration")
+    ax.set_ylabel("Step Size")
+    ax.set_yscale("log")
+    ax.set_title("Step-Size Convergence of Sampled Voxels Colored by T2 Value")
+    ax.grid(True)
+    plt.tight_layout()
+    p = os.path.join(ada_path, f"step_size_convergence_sampled_voxels_by_t2_{sub}_{ses}_sim-{sim}.png")
+    plt.savefig(p)
+    plt.close(fig)
+    paths.append(p)
+
+    # 3. iterations vs final loss scatter over all voxels
+    nrm2, cmap2 = _norm_cmap(all_t2)
+    fig, ax = plt.subplots(figsize=(10, 8))
+    ax.scatter(np.asarray(n_iter), np.asarray(final_fun), c=np.asarray(all_t2),
+               cmap=cmap2, norm=nrm2, s=4)
+    sm = cm.ScalarMappable(cmap=cmap2, norm=nrm2)
+    sm.set_array([])
+    fig.colorbar(sm, ax=ax).set_label("T2 Value")
+    ax.set_xlabel("Number of Iterations")
+    ax.set_ylabel("Final Loss Function Value")
+    ax.set_title("Final Number of Iterations vs Final Loss (Colored by T2)")
+    ax.grid(True)
+    plt.tight_layout()
+    p = os.path.join(ada_path, f"scatter_iterations_vs_loss_by_t2_{sub}_{ses}_sim-{sim}.png")
+    plt.savefig(p)
+    plt.close(fig)
+    paths.append(p)
+    return paths

@@ -1,0 +1,68 @@
+"""Pluggable SynthSeg adapter (external pretrained segmentation CNN).
+
+The reference shells out to FreeSurfer's ``mri_synthseg`` through a generated
+bash script run under GNU parallel (utils/qmri_utils.py:424-466). Retraining
+that CNN is out of scope; this adapter keeps the same contract — a directory
+of recon NIfTIs in, a directory of label NIfTIs out — with three backends:
+
+- 'subprocess': invoke a user-provided command template per directory pair
+  (default ``mri_synthseg --i {input} --o {output} --robust --threads 4 --cpu``)
+- 'callable':  any Python function f(input_dir, output_dir)
+- 'fake':      deterministic threshold-based labeler for tests/pipelines
+  without FreeSurfer (foreground -> WM id 2, bright -> GM id 3, as a stand-in)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import shutil
+import subprocess
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..core import nifti
+
+DEFAULT_CMD = "mri_synthseg --i {input} --o {output} --robust --threads 4 --cpu"
+
+
+@dataclasses.dataclass
+class SynthSegRunner:
+    mode: str = "subprocess"  # 'subprocess' | 'callable' | 'fake'
+    command_template: str = DEFAULT_CMD
+    fn: Optional[Callable[[str, str], None]] = None
+
+    def available(self) -> bool:
+        if self.mode == "subprocess":
+            return shutil.which(self.command_template.split()[0]) is not None
+        return True
+
+    def run(self, input_dir: str, output_dir: str) -> None:
+        os.makedirs(output_dir, exist_ok=True)
+        if self.mode == "subprocess":
+            cmd = self.command_template.format(input=input_dir, output=output_dir)
+            subprocess.run(cmd.split(), check=True)
+        elif self.mode == "callable":
+            if self.fn is None:
+                raise ValueError("mode='callable' requires fn")
+            self.fn(input_dir, output_dir)
+        elif self.mode == "fake":
+            self._fake(input_dir, output_dir)
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+    @staticmethod
+    def _fake(input_dir: str, output_dir: str) -> None:
+        for path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+            vol = nifti.read(path)
+            data = np.asarray(vol.data, np.float32)
+            fg = data > np.percentile(data, 60)
+            bright = data > np.percentile(data, 85)
+            labels = np.zeros(data.shape, np.int16)
+            labels[fg] = 2      # aseg left-cerebral-WM
+            labels[bright] = 3  # aseg left-cerebral-GM
+            out = vol.with_data(labels)
+            base = os.path.basename(path).replace(".nii.gz", "_synthseg.nii.gz")
+            nifti.write(os.path.join(output_dir, base), out, dtype=np.int16)

@@ -1,0 +1,25 @@
+from .signal import (
+    gauss_model,
+    gauss_rician_model,
+    make_objective,
+    predict_signal,
+    MODEL_NAMES,
+)
+from .init import loglinear_init
+from .solver import fit_batch, fit_batch_multistart, fit_batch_traced, FitResult
+from .t2map import fit_stack, T2FitOutput
+
+__all__ = [
+    "gauss_model",
+    "gauss_rician_model",
+    "make_objective",
+    "predict_signal",
+    "MODEL_NAMES",
+    "loglinear_init",
+    "fit_batch",
+    "fit_batch_multistart",
+    "fit_batch_traced",
+    "FitResult",
+    "fit_stack",
+    "T2FitOutput",
+]

@@ -1,0 +1,79 @@
+"""T2-relaxometry signal models and fit objectives (JAX).
+
+Three noise models, numerically identical to the reference's
+(run_t2mapping.py:129-177) but expressed as pure JAX functions so the solver
+can take analytic gradients/Hessians by autodiff instead of the reference's
+finite-difference L-BFGS-B (`jac=False`).
+
+- gaussian:         S(TE) = k * exp(-TE/T2);            mean-SSE objective
+- gaussian_rician:  S(TE) = sqrt(k^2 exp(-2TE/T2) + sigma^2); mean-SSE
+                    (Gudbjartsson & Patz 1995 first-moment approximation)
+- rician:           negative Rician log-likelihood with exp-scaled Bessel I0
+                    (Hajj et al. 2020), using log(i0e(x)) + |x| for stability
+                    exactly as the reference does (run_t2mapping.py:168-172).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.special import i0e
+
+MODEL_NAMES = ("gaussian", "gaussian_rician", "rician")
+
+_LOG_EPS = 1e-20  # guards log() against exact-zero signal in padded voxels
+
+
+def gauss_model(te, k, t2):
+    """Mono-exponential decay k*exp(-te/t2)."""
+    return k * jnp.exp(-te / t2)
+
+
+def gauss_rician_model(te, k, t2, sigma):
+    """First-moment Rician-bias-corrected decay sqrt(k^2 e^{-2te/t2} + sigma^2)."""
+    return jnp.sqrt(jnp.square(gauss_model(te, k, t2)) + jnp.square(sigma))
+
+
+def predict_signal(model: str, params, te):
+    """Predicted signal for a parameter vector; used for residual maps."""
+    if model == "gaussian":
+        return gauss_model(te, params[0], params[1])
+    return gauss_rician_model(te, params[0], params[1], params[2])
+
+
+def _gauss_obj(params, te, signal):
+    r = signal - gauss_model(te, params[0], params[1])
+    return jnp.mean(jnp.square(r))
+
+
+def _gauss_rician_obj(params, te, signal):
+    r = signal - gauss_rician_model(te, params[0], params[1], params[2])
+    return jnp.mean(jnp.square(r))
+
+
+def _rician_obj(params, te, signal):
+    k, t2, sigma = params[0], params[1], params[2]
+    m = gauss_model(te, k, t2)
+    s2 = jnp.square(sigma)
+    x = m * signal / s2
+    ll = jnp.sum(
+        jnp.log(jnp.maximum(signal, _LOG_EPS))
+        - jnp.log(s2)
+        - (jnp.square(signal) + jnp.square(m)) / (2.0 * s2)
+        + (jnp.abs(x) + jnp.log(i0e(x)))
+    )
+    return -ll
+
+
+_OBJECTIVES = {
+    "gaussian": _gauss_obj,
+    "gaussian_rician": _gauss_rician_obj,
+    "rician": _rician_obj,
+}
+
+
+def make_objective(model: str):
+    """Return f(params (P,), te (T,), signal (T,)) -> scalar objective."""
+    try:
+        return _OBJECTIVES[model]
+    except KeyError:
+        raise ValueError(f"unknown model {model!r}; expected one of {MODEL_NAMES}")

@@ -1,0 +1,162 @@
+"""Binary morphology on device (dilation / erosion / closing / fill-holes).
+
+Replaces the SimpleITK/scipy.ndimage morphology the reference leans on for
+masks and phantom labels (reference utils/qmri_utils.py:223-252, 591-623,
+868-933, 935-951). Two structuring-element families:
+
+- box (cube) elements: exact separable min/max pooling via
+  ``lax.reduce_window`` — three cheap 1-D passes instead of an r^3 kernel.
+- ball (Euclidean) elements: exact thresholded FFT convolution with the ball
+  indicator — a 3-D FFT is far cheaper on TPU than a dense 21^3 gather
+  kernel, and the counts are near-integers so a 0.5 threshold is robust.
+
+Hole filling is a border-seeded flood fill of the background: iterate
+masked 6-connected dilation to a fixed point (``lax.while_loop``), then
+invert. Matches scipy.ndimage.binary_fill_holes with the default
+connectivity-1 structure.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _as_bool3d(x):
+    x = jnp.asarray(x)
+    if x.ndim != 3:
+        raise ValueError(f"expected 3-D mask, got shape {x.shape}")
+    return x.astype(bool)
+
+
+def _box_pool(x_bool, radius: int, is_max: bool):
+    """Separable (2r+1)^3 max/min pooling."""
+    x = x_bool.astype(jnp.float32)
+    init = -jnp.inf if is_max else jnp.inf
+    op = lax.max if is_max else lax.min
+    k = 2 * radius + 1
+    for axis in range(3):
+        dims = [1, 1, 1]
+        dims[axis] = k
+        x = lax.reduce_window(x, init, op, tuple(dims), (1, 1, 1), "SAME")
+    return x > 0.5
+
+
+def _ball_kernel(radius: int) -> np.ndarray:
+    r = int(radius)
+    g = np.arange(-r, r + 1)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    return (zz * zz + yy * yy + xx * xx <= r * r).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def _ball_conv_count(x_bool, radius: int):
+    """Count of set voxels within the ball around each voxel (FFT conv)."""
+    shape = x_bool.shape
+    ker = _ball_kernel(radius)
+    pad = radius
+    padded_shape = tuple(s + 2 * pad for s in shape)
+    x = jnp.zeros(padded_shape, jnp.float32).at[pad:pad + shape[0], pad:pad + shape[1], pad:pad + shape[2]].set(x_bool.astype(jnp.float32))
+    kf = jnp.zeros(padded_shape, jnp.float32)
+    kf = kf.at[: 2 * pad + 1, : 2 * pad + 1, : 2 * pad + 1].set(jnp.asarray(ker))
+    kf = jnp.roll(kf, shift=(-pad, -pad, -pad), axis=(0, 1, 2))
+    conv = jnp.fft.irfftn(
+        jnp.fft.rfftn(x) * jnp.fft.rfftn(kf), s=padded_shape
+    )
+    return conv[pad:pad + shape[0], pad:pad + shape[1], pad:pad + shape[2]]
+
+
+def binary_dilate(mask, radius: int = 1, *, box: bool = False, iterations: int = 1):
+    """Dilate a binary mask with a ball (default, SimpleITK semantics) or box."""
+    m = _as_bool3d(mask)
+    for _ in range(iterations):
+        if box:
+            m = _box_pool(m, radius, is_max=True)
+        else:
+            m = _ball_conv_count(m, radius) > 0.5
+    return m
+
+
+def binary_erode(mask, radius: int = 1, *, box: bool = False, iterations: int = 1):
+    """Erode a binary mask with a ball or box structuring element."""
+    m = _as_bool3d(mask)
+    for _ in range(iterations):
+        if box:
+            m = _box_pool(m, radius, is_max=False)
+        else:
+            ker_sum = float(_ball_kernel(radius).sum())
+            m = _ball_conv_count(m, radius) > ker_sum - 0.5
+    return m
+
+
+def binary_closing(mask, radius: int = 1, *, box: bool = False):
+    return binary_erode(binary_dilate(mask, radius, box=box), radius, box=box)
+
+
+def binary_opening(mask, radius: int = 1, *, box: bool = False):
+    return binary_dilate(binary_erode(mask, radius, box=box), radius, box=box)
+
+
+def _dilate6(x_bool):
+    """One 6-connected (cross) dilation step via shifted ORs."""
+    x = x_bool
+    out = x
+    for axis in range(3):
+        out = out | jnp.roll(x, 1, axis).at[_face(axis, 0)].set(False)
+        out = out | jnp.roll(x, -1, axis).at[_face(axis, -1)].set(False)
+    return out
+
+
+def _face(axis: int, idx: int):
+    sl = [slice(None)] * 3
+    sl[axis] = idx
+    return tuple(sl)
+
+
+@jax.jit
+def fill_holes(mask):
+    """Fill cavities not connected to the volume border (6-connectivity)."""
+    m = _as_bool3d(mask)
+    outside = ~m
+    # seed: border voxels that are background
+    seed = jnp.zeros_like(m)
+    for axis in range(3):
+        seed = seed.at[_face(axis, 0)].set(True)
+        seed = seed.at[_face(axis, -1)].set(True)
+    seed = seed & outside
+
+    def cond(state):
+        cur, changed = state
+        return changed
+
+    def body(state):
+        cur, _ = state
+        nxt = _dilate6(cur) & outside
+        return nxt, jnp.any(nxt != cur)
+
+    reach, _ = lax.while_loop(cond, body, (seed, jnp.asarray(True)))
+    return m | (outside & ~reach)
+
+
+def build_slice_mask(image, threshold: float = 1.0):
+    """Per-slice signal mask: threshold, fill holes, 5x5 dilate then erode.
+
+    Device port of the reference's registration masking helper
+    (utils/qmri_utils.py:223-252, which iterates 2-D slices along the last
+    array axis). Slices here are (z, y) planes indexed by x to match.
+    """
+    img = jnp.asarray(image)
+    bw = img > threshold
+
+    def per_slice(sl):  # sl: (z, y)
+        m3 = sl[:, :, None]
+        m3 = fill_holes(m3)
+        m3 = binary_dilate(m3, 2, box=True)
+        m3 = binary_erode(m3, 2, box=True)
+        return m3[:, :, 0]
+
+    return jax.vmap(per_slice, in_axes=2, out_axes=2)(bw)

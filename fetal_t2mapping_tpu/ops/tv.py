@@ -1,0 +1,75 @@
+"""Total-variation (Chambolle) denoising on device.
+
+Slice-wise 2-D TV denoising of HR recon volumes, matching
+skimage.restoration.denoise_tv_chambolle's dual-projection iteration and
+defaults (weight=0.1, eps=2e-4, max 200 iterations) as invoked by the
+reference (utils/qmri_utils.py:393-405). All slices iterate together as one
+vmapped ``lax.while_loop`` — the fixed-point projection is pure elementwise
++ shift arithmetic, ideal VPU work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _grad2d(u):
+    """Forward differences along both axes; zero at the trailing edge."""
+    gz = jnp.zeros_like(u).at[:-1, :].set(u[1:, :] - u[:-1, :])
+    gy = jnp.zeros_like(u).at[:, :-1].set(u[:, 1:] - u[:, :-1])
+    return jnp.stack([gz, gy])
+
+
+def _div2d(p):
+    """Adjoint of -_grad2d (backward-difference divergence)."""
+    pz, py = p[0], p[1]
+    dz = jnp.concatenate([pz[:1, :], pz[1:-1, :] - pz[:-2, :], -pz[-2:-1, :]], axis=0)
+    dy = jnp.concatenate([py[:, :1], py[:, 1:-1] - py[:, :-2], -py[:, -2:-1]], axis=1)
+    return dz + dy
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _tv2d(image, weight: float, eps: float, max_iter: int):
+    img = image.astype(jnp.float32)
+    tau = 1.0 / 4.0  # 1/(2*ndim) for 2-D, as in skimage
+    n = img.size
+
+    def energy(u):
+        g = _grad2d(u)
+        return jnp.sum(jnp.square(u - img)) + weight * jnp.sum(
+            jnp.sqrt(jnp.sum(jnp.square(g), axis=0)))
+
+    p0 = jnp.zeros((2,) + img.shape, jnp.float32)
+    e0 = energy(img)
+
+    def cond(state):
+        _, e_prev, e, i = state
+        return (i < max_iter) & ((i < 2) | (jnp.abs(e_prev - e) >= eps * e0))
+
+    def body(state):
+        p, _, e_prev, i = state
+        d = _div2d(p)
+        u = img + d
+        g = _grad2d(u)
+        norm = jnp.sqrt(jnp.sum(jnp.square(g), axis=0))
+        p_new = (p - tau * g) / (1.0 + (tau / weight) * norm)[None]
+        e_new = energy(img + _div2d(p_new))
+        return p_new, e_prev, e_new, i + 1
+
+    p, _, _, _ = lax.while_loop(cond, body, (p0, e0, e0, jnp.asarray(0)))
+    return img + _div2d(p)
+
+
+def tv_denoise_slices(volume, weight: float = 0.1, eps: float = 2e-4,
+                      max_iter: int = 200):
+    """Denoise each (y, x) slice of a (z, y, x) volume independently.
+
+    The reference iterates data.shape[0] 2-D slices (utils/qmri_utils.py:
+    398-399); here every slice runs the projection in lock-step.
+    """
+    vol = jnp.asarray(volume)
+    return jax.vmap(lambda sl: _tv2d(sl, weight, eps, max_iter))(vol)

@@ -1,0 +1,66 @@
+"""Multi-chip voxel-parallel execution via jax.sharding.
+
+The reference's only parallelism is a 20-process fork over voxels
+(run_t2mapping.py:442-443) with no communication backend at all. The TPU
+equivalent: shard the voxel axis of the (N, T) echo batch over a 1-D device
+mesh with a NamedSharding and let XLA partition the batched Newton solve —
+the computation is voxel-elementwise, so the only collectives are the final
+all-gather when results are fetched and ``psum``-style ROI reductions.
+
+The TE axis (3-8) and per-voxel parameter axis (2-3) are tiny and stay
+replicated; tensor/pipeline/expert parallelism have no counterpart in this
+workload (see SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+VOXEL_AXIS = "vox"
+
+
+def voxel_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D device mesh over the voxel axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (VOXEL_AXIS,))
+
+
+def pad_to_devices(n: int, mesh: Mesh, lane: int = 128) -> int:
+    """Smallest N' >= n divisible by (#devices * lane) for clean sharding."""
+    q = mesh.devices.size * lane
+    return ((n + q - 1) // q) * q
+
+
+def shard_voxels(array, mesh: Mesh):
+    """Place an (N, ...) array with its leading axis sharded over the mesh."""
+    spec = P(VOXEL_AXIS, *([None] * (np.ndim(array) - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def fit_batch_sharded(signal, te, x0, lo, hi, mesh: Mesh, **fit_kwargs):
+    """Run models.solver.fit_batch with the voxel axis sharded over a mesh.
+
+    Inputs may be host arrays; the leading axis must be divisible by the mesh
+    size (use pad_to_devices + core.stack bucketing). XLA partitions the
+    whole while_loop solve; each chip iterates on its voxel shard with zero
+    inter-chip traffic until results are read back.
+    """
+    from ..models.solver import fit_batch
+
+    n = np.shape(signal)[0]
+    if n % mesh.devices.size:
+        raise ValueError(f"voxel count {n} not divisible by mesh size {mesh.devices.size}")
+    signal = shard_voxels(np.asarray(signal, np.float32), mesh)
+    x0 = shard_voxels(np.asarray(x0, np.float32), mesh)
+    lo = shard_voxels(np.broadcast_to(np.asarray(lo, np.float32), x0.shape), mesh)
+    hi = shard_voxels(np.broadcast_to(np.asarray(hi, np.float32), x0.shape), mesh)
+    te = jax.device_put(np.asarray(te, np.float32),
+                        NamedSharding(mesh, P()))  # replicated
+    return fit_batch(signal, te, x0, lo, hi, **fit_kwargs)

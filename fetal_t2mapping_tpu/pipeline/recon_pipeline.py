@@ -1,0 +1,237 @@
+"""Stage 2 pipeline: derivative generation (resample/fuse/segment/label).
+
+Host-side orchestration equivalent of the reference's ``process_qmri``
+(run_qmri_reconstruction.py:5-92). Every step writes NIfTIs into the
+derivative tree and skips work whose outputs already exist (the filesystem
+is the checkpoint; all stages are idempotent/resumable).
+
+In-vivo sequence: resample->fuse(+denoise)->[hf-to-lf reg]->synthseg->mask->
+bet->feta->atlas labels. In-vitro: phantom sphere labels from seeds.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .. import config as C
+from ..core import nifti
+from ..labels.feta import synthseg_to_feta
+from ..labels.masks import extract_brain, mask_from_labels
+from ..labels.phantom import phantom_labels_from_seeds
+from ..labels.synthseg import SynthSegRunner
+from ..recon.denoise import denoise_volume
+from ..recon.fuse import fuse_orientations
+from ..recon.registration import register_affine, register_rigid
+from ..recon.resample import resample_to_reference, resample_volume
+from ..utils.bids import get_img_path, mk_bids_dir
+
+log = logging.getLogger("fetal_t2mapping_tpu.recon")
+
+
+def run_resample_volumes(metadata: pd.DataFrame, bids_path: str,
+                         high_res: float = 1.0, overwrite: bool = False) -> None:
+    """Step 2: per-acquisition isotropic resample (reference :35-59)."""
+    log.info("===== Resampling to %.2f mm =====", high_res)
+    for _, acq in metadata.iterrows():
+        out_path = get_img_path(bids_path, acq, C.RESAMP_DIRNAME)
+        if os.path.exists(out_path) and not overwrite:
+            continue
+        vol = nifti.read(get_img_path(bids_path, acq, C.IN_DIRNAME))
+        hi = resample_volume(vol, [high_res] * 3)
+        nifti.write(out_path, hi, dtype=np.float32)
+        log.info("resampled %s -> %s", acq["run"], out_path)
+
+
+def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
+                            denoise: bool = True, fixed_type: str = "ax",
+                            overwrite: bool = False,
+                            registration_kwargs: Optional[dict] = None) -> None:
+    """Step 3: per-TE 3-orientation fusion + echo-to-echo registration
+    + TV denoising (reference :359-391)."""
+    for (prj, sub, ses), ss_md in metadata.groupby(["prj", "sub", "ses"]):
+        first_recon = None
+        for echotime, te_md in ss_md.groupby("EchoTime"):
+            imgs: Dict[str, nifti.Volume] = {}
+            acq = te_md.iloc[0]
+            for _, a in te_md.iterrows():
+                imgs[a["ImageOrientationPatientSTR"]] = nifti.read(
+                    get_img_path(bids_path, a, C.RESAMP_DIRNAME))
+            if len(imgs) != 3:
+                log.warning("TE %.0f ms of %s_%s has orientations %s; skipped",
+                            echotime * 1000, sub, ses, sorted(imgs))
+                continue
+            out_path = get_img_path(bids_path, acq, C.RECON_DIRNAME)
+            if os.path.exists(out_path) and not overwrite:
+                if first_recon is None:
+                    first_recon = nifti.read(out_path)
+                continue
+            log.info("===== Fusion TE %3d ms (%s_%s) =====", int(echotime * 1000), sub, ses)
+            recon = fuse_orientations(imgs, fixed_type,
+                                      registration_kwargs=registration_kwargs)
+            if first_recon is None:
+                first_recon = recon
+            else:
+                # register later echoes onto the first TE's recon (:378-383)
+                reg = register_rigid(first_recon, recon, **(registration_kwargs or {}))
+                recon = resample_to_reference(recon, first_recon, transform=reg.matrix)
+            if denoise:
+                recon = denoise_volume(recon)
+            nifti.write(out_path, recon, dtype=np.float32)
+            log.info("recon saved: %s", out_path)
+
+
+def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
+                               registration_kwargs: Optional[dict] = None) -> None:
+    """Step 3bis: register 1.5 T recons to the 0.55 T ses-01 te-114 recon
+    (reference :1039-1051), with its per-subject exclusions."""
+    for (prj, sub, ses, echotime), sub_md in metadata.groupby(["prj", "sub", "ses", "EchoTime"]):
+        for _, acq in sub_md.iterrows():
+            if echotime == 299 and sub in ("sub-003", "sub-004"):
+                continue
+            moving_path = get_img_path(bids_path, acq, C.RECON_DIRNAME)
+            fixed_path = re.sub(r"ses-\d{2}", "ses-01", moving_path)
+            fixed_path = re.sub(r"te-\d+", "te-114", fixed_path)
+            if not os.path.exists(moving_path) or not os.path.exists(fixed_path):
+                continue
+            fixed = nifti.read(fixed_path)
+            moving = nifti.read(moving_path)
+            reg = register_rigid(fixed, moving, **(registration_kwargs or {}))
+            out = resample_to_reference(moving, fixed, transform=reg.matrix)
+            nifti.write(moving_path, out, dtype=np.float32)
+            log.info("hf->lf registered: %s", moving_path)
+
+
+def run_segmentation(metadata: pd.DataFrame, bids_path: str,
+                     runner: Optional[SynthSegRunner] = None) -> None:
+    """Step 4: SynthSeg labels per (prj, sub, ses) recon dir (reference :424-466)."""
+    runner = runner or SynthSegRunner()
+    for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
+        input_dir = os.path.join(bids_path, prj, "derivatives", C.RECON_DIRNAME, sub, ses, "anat")
+        output_dir = mk_bids_dir(bids_path, prj, "derivatives", C.SYNTHSEG_DIRNAME, sub, ses, "anat")
+        runner.run(input_dir, output_dir)
+
+
+def _derivative_files(bids_path, prj, sub, ses, dirname):
+    import glob
+    d = os.path.join(bids_path, prj, "derivatives", dirname, sub, ses, "anat")
+    return sorted(glob.glob(os.path.join(d, "*.nii.gz")))
+
+
+def run_masks_and_bet(metadata: pd.DataFrame, bids_path: str) -> None:
+    """Steps 5 + 5bis: masks from labels; brain extraction (reference :935-974)."""
+    for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
+        mask_dir = mk_bids_dir(bids_path, prj, "derivatives", C.MASK_DIRNAME, sub, ses, "anat")
+        bet_dir = mk_bids_dir(bids_path, prj, "derivatives", C.BET_DIRNAME, sub, ses, "anat")
+        for lbl_path in _derivative_files(bids_path, prj, sub, ses, C.SYNTHSEG_DIRNAME):
+            mask = mask_from_labels(nifti.read(lbl_path))
+            nifti.write(os.path.join(
+                mask_dir, os.path.basename(lbl_path).replace("synthseg", "mask")),
+                mask, dtype=np.uint8)
+        recon_paths = _derivative_files(bids_path, prj, sub, ses, C.RECON_DIRNAME)
+        mask_paths = _derivative_files(bids_path, prj, sub, ses, C.MASK_DIRNAME)
+        for recon_path, mask_path in zip(recon_paths, mask_paths):
+            bet = extract_brain(nifti.read(recon_path), nifti.read(mask_path))
+            nifti.write(os.path.join(
+                bet_dir, os.path.basename(recon_path).replace(
+                    C.RECON_DIRNAME + ".nii", C.BET_DIRNAME + ".nii")),
+                bet, dtype=np.float32)
+
+
+def run_feta_labels(metadata: pd.DataFrame, bids_path: str) -> None:
+    """Step 6: SynthSeg -> FeTA remap (reference :976-1009)."""
+    for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
+        out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.FETA_DIRNAME, sub, ses, "anat")
+        for lbl_path in _derivative_files(bids_path, prj, sub, ses, C.SYNTHSEG_DIRNAME):
+            feta = synthseg_to_feta(nifti.read(lbl_path))
+            nifti.write(os.path.join(
+                out_dir, os.path.basename(lbl_path).replace("synthseg", "feta")),
+                feta, dtype=np.int16)
+
+
+def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
+                     mni_template: Optional[str] = None,
+                     jhu_atlas: Optional[str] = None,
+                     ho_atlas: Optional[str] = None,
+                     low_field: bool = True) -> None:
+    """Step 7: affine MNI152->subject registration + JHU/HO atlas warps.
+
+    TPU-native replacement of the three FLIRT subprocesses (reference
+    :1011-1037): one affine registration of the template to the subject's
+    BET volume, then nearest-neighbour warps of both atlases with the same
+    transform. Template/atlas paths default to $FSLDIR locations.
+    """
+    fsl = os.environ.get("FSLDIR", "/usr/local/fsl")
+    mni_template = mni_template or os.path.join(fsl, "data/standard/MNI152_T1_1mm_brain.nii.gz")
+    jhu_atlas = jhu_atlas or os.path.join(fsl, "data/atlases/JHU/JHU-ICBM-labels-1mm.nii.gz")
+    ho_atlas = ho_atlas or os.path.join(
+        fsl, "data/atlases/HarvardOxford/HarvardOxford-cort-maxprob-thr50-1mm.nii.gz")
+    for p in (mni_template, jhu_atlas, ho_atlas):
+        if not os.path.exists(p):
+            log.warning("atlas input missing: %s — skipping atlas labels", p)
+            return
+    te_tag = "te-114" if low_field else "te-115"
+
+    mni = nifti.read(mni_template)
+    jhu = nifti.read(jhu_atlas)
+    ho = nifti.read(ho_atlas)
+
+    for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
+        bet_path = os.path.join(bids_path, prj, "derivatives", C.BET_DIRNAME, sub, ses,
+                                "anat", f"{sub}_{ses}_{te_tag}_{C.BET_DIRNAME}.nii.gz")
+        if not os.path.exists(bet_path):
+            log.warning("BET reference missing: %s", bet_path)
+            continue
+        bet = nifti.read(bet_path)
+        reg = register_affine(bet, mni)
+        mni_dir = mk_bids_dir(bids_path, prj, "derivatives", C.MNI_DIRNAME, sub, ses, "anat")
+        jhu_dir = mk_bids_dir(bids_path, prj, "derivatives", C.JHU_DIRNAME, sub, ses, "anat")
+        ho_dir = mk_bids_dir(bids_path, prj, "derivatives", C.HO_DIRNAME, sub, ses, "anat")
+        warped = resample_to_reference(mni, bet, transform=reg.matrix)
+        nifti.write(os.path.join(mni_dir, f"{sub}_{ses}_{C.MNI_DIRNAME}.nii.gz"),
+                    warped, dtype=np.float32)
+        np.savetxt(os.path.join(mni_dir, f"{sub}_{ses}_{C.MNI_DIRNAME}_omat.mat"), reg.matrix)
+        for atlas, out_dir, name in ((jhu, jhu_dir, C.JHU_DIRNAME), (ho, ho_dir, C.HO_DIRNAME)):
+            labels = resample_to_reference(atlas, bet, transform=reg.matrix, method="nearest")
+            nifti.write(os.path.join(out_dir, f"{sub}_{ses}_{name}.nii.gz"), labels, dtype=np.int16)
+
+
+def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
+                         seeds: Sequence[Sequence[int]], radius: int = 6) -> None:
+    """In-vitro: sphere labels from seed voxels (reference :868-933)."""
+    import glob
+    for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
+        input_dir = os.path.join(bids_path, prj, "derivatives", C.RECON_DIRNAME, sub, ses, "anat")
+        out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.PHANTOM_LABELS_DIRNAME, sub, ses, "anat")
+        for img_path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+            geom = nifti.read(img_path)
+            labels = phantom_labels_from_seeds(geom, seeds, radius=radius)
+            out_path = os.path.join(out_dir, os.path.basename(img_path).replace(
+                C.RECON_DIRNAME, C.PHANTOM_LABELS_DIRNAME))
+            nifti.write(out_path, labels, dtype=np.uint8)
+            log.info("phantom labels: %s", out_path)
+
+
+def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
+                 low_field: bool, synthseg: Optional[SynthSegRunner] = None,
+                 seeds_key: str = C.DEFAULT_PHANTOM_SEEDS_KEY,
+                 registration_kwargs: Optional[dict] = None) -> None:
+    """Full stage-2 pipeline (reference run_qmri_reconstruction.py:5-92)."""
+    if in_vivo:
+        run_resample_volumes(metadata, bids_path, 1.0)
+        run_reconstruct_volumes(metadata, bids_path, denoise=True, fixed_type="ax",
+                                registration_kwargs=registration_kwargs)
+        if not low_field:
+            register_high_to_low_field(metadata, bids_path,
+                                       registration_kwargs=registration_kwargs)
+        run_segmentation(metadata, bids_path, synthseg)
+        run_masks_and_bet(metadata, bids_path)
+        run_feta_labels(metadata, bids_path)
+        run_atlas_labels(metadata, bids_path, low_field=low_field)
+    else:
+        build_phantom_labels(metadata, bids_path, C.PHANTOM_SEEDS[seeds_key])

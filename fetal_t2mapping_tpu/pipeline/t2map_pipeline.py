@@ -1,0 +1,116 @@
+"""Stage 3 pipeline: voxel-wise T2 mapping over the BIDS derivative tree.
+
+Host-side orchestration equivalent of the reference's ``process_t2maps``
+(run_t2mapping.py:333-479): per (prj, sub, ses) load the recon + mask
+(+ phantom label) volumes for the selected TEs, build an EchoStack, run the
+device fit, then write maps, convergence figures and the phantom ROI CSV.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .. import config as C
+from ..analysis.convergence import save_convergence_plots
+from ..core import nifti
+from ..core.stack import EchoStack
+from ..models.t2map import fit_stack
+from ..utils.bids import get_img_path, mk_bids_dir
+from ..utils.maps_io import save_nifti_maps, save_phantom_csv
+
+log = logging.getLogger("fetal_t2mapping_tpu.t2map")
+
+
+def set_ada_path(bids_path: str, prj: str) -> str:
+    return mk_bids_dir(bids_path, prj, "ada", "convergence_analysis")
+
+
+def process_t2maps(
+    metadata: pd.DataFrame,
+    bids_path: str,
+    tes: Sequence[int],
+    cfg: C.FitConfig,
+    *,
+    phantom: bool = False,
+    low_field: bool = True,
+    fast: bool = False,
+    sim: str = "0",
+    make_plots: bool = True,
+) -> list:
+    """Fit every (prj, sub, ses) in the metadata; returns per-session summaries.
+
+    Args mirror the reference CLI semantics: ``phantom`` loads sphere labels
+    and writes the ROI CSV; ``fast`` restricts the fit to labeled voxels
+    (run_t2mapping.py:393-400); sessions missing any selected TE are skipped
+    with a warning (:388-390).
+    """
+    tes = list(tes)
+    tes_in_seconds = [t / 1000.0 for t in tes]
+    metadata = metadata[metadata["EchoTime"].isin(tes_in_seconds)]
+    summaries = []
+
+    for prj, prj_md in metadata.groupby("prj"):
+        ada_path = set_ada_path(bids_path, prj)
+        for (sub, ses), sub_md in prj_md.groupby(["sub", "ses"]):
+            recons, masks, te_found = [], [], []
+            label_vol = None
+            acq = None
+            for echotime, te_md in sub_md.groupby("EchoTime"):
+                acq = te_md.iloc[0]
+                te_found.append(round(echotime * 1000))
+                recons.append(nifti.read(get_img_path(bids_path, acq, C.RECON_DIRNAME).replace(" ", "")))
+                masks.append(nifti.read(get_img_path(bids_path, acq, C.MASK_DIRNAME).replace(" ", "")))
+                if phantom:
+                    label_vol = nifti.read(
+                        get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME).replace(" ", ""))
+
+            if sorted(te_found) != sorted(tes):
+                log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
+                            sub, ses, te_found, tes)
+                continue
+
+            stack = EchoStack.from_volumes(recons, masks, te_found)
+            if phantom and fast:
+                # ROI-only fast mode: mask out everything unlabeled
+                stack = EchoStack(
+                    signal=stack.signal,
+                    mask=stack.mask & (np.asarray(label_vol.data) > 0),
+                    tes=stack.tes,
+                    geometry=stack.geometry,
+                )
+
+            log.info("T2 mapping %s_%s_%s: grid %s, %d voxels, TEs %s, model %s",
+                     prj, sub, ses, stack.grid_shape, int(stack.mask.sum()),
+                     te_found, cfg.model)
+            out = fit_stack(stack, cfg)
+            log.info("fit done in %.3f s (%.0f voxels/s)", out.fit_seconds,
+                     out.n_voxels / max(out.fit_seconds, 1e-9))
+
+            map_paths = save_nifti_maps(out, bids_path, acq, C.T2MAP_DIRNAME, sim, cfg.model)
+
+            if make_plots:
+                m = stack.mask
+                save_convergence_plots(
+                    ada_path, out.traces, out.trace_t2,
+                    out.n_iter.data[m], out.fun.data[m], out.t2.data[m],
+                    sub, ses, sim, cfg.model)
+
+            csv_path = None
+            if phantom:
+                gt, ids = C.phantom_gt(low_field)
+                csv_path = save_phantom_csv(out, label_vol, ids, gt, bids_path, acq,
+                                            C.T2MAP_DIRNAME, sim, cfg.model)
+
+            summaries.append({
+                "prj": prj, "sub": sub, "ses": ses,
+                "n_voxels": out.n_voxels,
+                "fit_seconds": out.fit_seconds,
+                "converged_frac": float(out.converged.data[stack.mask].mean()),
+                "maps": map_paths, "roi_csv": csv_path,
+            })
+    return summaries

@@ -1,0 +1,275 @@
+"""Differentiable multi-resolution image registration (rigid & affine).
+
+TPU-native replacement for the reference's external registration engines:
+- SimpleElastix rigid registration (reference utils/qmri_utils.py:159-165)
+  for orientation-to-orientation and echo-to-echo alignment;
+- FSL FLIRT affine registration of MNI152 to subject space (:1011-1037).
+
+Design: the unused ``registration_itk`` in the reference (:167-221) documents
+the intended algorithm — correlation metric, Euler3D transform, gradient
+descent, multi-resolution — which maps perfectly onto JAX:
+
+- the warp is a trilinear gather (ops.interp), differentiable w.r.t. the
+  sample coordinates, so the metric gradient w.r.t. the 6/12 transform
+  parameters comes from autodiff: no finite differences, no random 10%
+  sampling (TPU prefers the dense metric; every voxel contributes);
+- negative normalized cross-correlation metric, masked to in-bounds voxels;
+- a 3-level image pyramid (Gaussian smooth + subsample), Adam on
+  physically-scaled parameters, fixed iteration counts per level
+  (lax.scan — one compile per level shape);
+- rotations are parameterized about the fixed-image center (the
+  CenteredTransformInitializer GEOMETRY convention).
+
+The returned transform is a 4x4 world->world matrix T mapping fixed-space
+points into moving-space: registered(w) = moving(T @ w).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.volume import Volume
+from ..ops.interp import sample_trilinear
+from .resample import resample_to_reference
+
+
+# --------------------------------------------------------------------- math
+def _euler_zxy(rx, ry, rz):
+    """Rotation matrix (ITK Euler3DTransform order: R = Rz @ Rx @ Ry)."""
+    cx, sx = jnp.cos(rx), jnp.sin(rx)
+    cy, sy = jnp.cos(ry), jnp.sin(ry)
+    cz, sz = jnp.cos(rz), jnp.sin(rz)
+    Rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Rx @ Ry
+
+
+def _rigid_matrix(params, center, scale):
+    """params (6,) scaled -> (R, t) with rotation about ``center``.
+
+    params are in 'physical' units: rotations were multiplied by the image
+    radius so Adam sees comparable magnitudes; ``scale`` undoes that.
+    """
+    rot = params[:3] / scale
+    t = params[3:]
+    R = _euler_zxy(rot[0], rot[1], rot[2])
+    offset = center - R @ center + t
+    return R, offset
+
+
+def _affine_matrix(params, center):
+    """params (12,): 9 matrix perturbations + 3 translations."""
+    M = jnp.eye(3) + params[:9].reshape(3, 3)
+    t = params[9:]
+    offset = center - M @ center + t
+    return M, offset
+
+
+# ----------------------------------------------------------------- pyramid
+def _gaussian_kernel1d(sigma: float):
+    if sigma <= 0:
+        return np.array([1.0], np.float32)
+    radius = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "factor"))
+def _smooth_subsample(data, sigma: float, factor: int):
+    """Separable Gaussian smoothing + strided subsampling along all 3 axes."""
+    x = jnp.asarray(data, jnp.float32)
+    k = jnp.asarray(_gaussian_kernel1d(sigma))
+    r = (k.shape[0] - 1) // 2
+    for axis in range(3):
+        xm = jnp.moveaxis(x, axis, -1)
+        shape = xm.shape
+        flat = xm.reshape(-1, 1, shape[-1])
+        out = lax.conv_general_dilated(
+            flat, k.reshape(1, 1, -1), window_strides=(1,),
+            padding=[(r, r)], dimension_numbers=("NCH", "OIH", "NCH"))
+        x = jnp.moveaxis(out.reshape(shape), -1, axis)
+    if factor > 1:
+        x = x[::factor, ::factor, ::factor]
+    return x
+
+
+def _pyramid_level(vol: Volume, factor: int, sigma: float) -> Volume:
+    if factor == 1 and sigma <= 0:
+        return vol
+    data = np.asarray(_smooth_subsample(np.asarray(vol.data, np.float32), sigma, factor))
+    return Volume(
+        data=data,
+        spacing=tuple(s * factor for s in vol.spacing),
+        origin=vol.origin,  # voxel (0,0,0) center moves < spacing/2; negligible for metric
+        direction=vol.direction,
+    )
+
+
+# ------------------------------------------------------------------ metric
+def _make_metric(fixed: Volume, moving: Volume, kind: str, transform_fn):
+    """Build metric(params) -> scalar on the fixed grid at one pyramid level."""
+    fixed_pts = jnp.asarray(fixed.world_grid().reshape(-1, 3), jnp.float32)
+    fixed_vals = jnp.asarray(fixed.data, jnp.float32).reshape(-1)
+    Mi = np.linalg.inv(moving.direction_matrix @ np.diag(moving.spacing))
+    m_inv = jnp.asarray(Mi.T, jnp.float32)
+    m_origin = jnp.asarray(moving.origin, jnp.float32)
+    m_data = jnp.asarray(moving.data, jnp.float32)
+    nz, ny, nx = m_data.shape
+
+    def metric(params):
+        R, offset = transform_fn(params)
+        w = fixed_pts @ R.T + offset
+        idx_xyz = (w - m_origin) @ m_inv
+        coords = idx_xyz[..., ::-1]
+        vals = sample_trilinear(m_data, coords)
+        inb = (
+            (coords[..., 0] >= 0) & (coords[..., 0] <= nz - 1)
+            & (coords[..., 1] >= 0) & (coords[..., 1] <= ny - 1)
+            & (coords[..., 2] >= 0) & (coords[..., 2] <= nx - 1)
+        ).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(inb), 1.0)
+        mf = jnp.sum(fixed_vals * inb) / n
+        mm = jnp.sum(vals * inb) / n
+        df = (fixed_vals - mf) * inb
+        dm = (vals - mm) * inb
+        if kind == "ncc":
+            cov = jnp.sum(df * dm)
+            denom = jnp.sqrt(jnp.sum(df * df) * jnp.sum(dm * dm)) + 1e-8
+            return -cov / denom
+        if kind == "mse":
+            return jnp.sum(jnp.square(df - dm)) / n
+        raise ValueError(kind)
+
+    return metric
+
+
+# --------------------------------------------------------------- optimizer
+def _adam_minimize(metric, params0, lr: float, iters: int):
+    grad_fn = jax.value_and_grad(metric)
+
+    @jax.jit
+    def run(params0):
+        def body(carry, _):
+            params, m, v, t = carry
+            f, g = grad_fn(params)
+            t = t + 1
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mhat = m / (1 - 0.9 ** t)
+            vhat = v / (1 - 0.999 ** t)
+            params = params - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+            return (params, m, v, t), f
+
+        z = jnp.zeros_like(params0)
+        (params, _, _, _), fs = lax.scan(
+            body, (params0, z, z, jnp.asarray(0, jnp.int32)), None, length=iters)
+        return params, fs
+
+    return run(params0)
+
+
+# -------------------------------------------------------------------- API
+@dataclasses.dataclass(frozen=True)
+class RegistrationResult:
+    """World->world transform (fixed space -> moving space) + diagnostics."""
+
+    matrix: np.ndarray          # 4x4
+    final_metric: float
+    metric_history: np.ndarray  # per-level concatenated
+
+
+def register_rigid(
+    fixed: Volume,
+    moving: Volume,
+    *,
+    levels: Sequence[int] = (4, 2, 1),
+    sigmas: Sequence[float] = (2.0, 1.0, 0.0),
+    iters: Sequence[int] = (150, 100, 50),
+    lr: float = 0.5,
+    metric: str = "ncc",
+    init_params: Optional[np.ndarray] = None,
+) -> RegistrationResult:
+    """6-DOF rigid registration of ``moving`` onto ``fixed``."""
+    center = np.asarray(fixed.center_world(), np.float32)
+    radius = float(np.linalg.norm(np.asarray(fixed.physical_extent)) / 2.0) or 1.0
+    scale = np.float32(radius)  # rotations optimized in radius*mm units
+
+    params = jnp.zeros(6, jnp.float32) if init_params is None else jnp.asarray(init_params, jnp.float32)
+    history = []
+    f_last = np.nan
+    for factor, sigma, n_it in zip(levels, sigmas, iters):
+        f_lvl = _pyramid_level(fixed, factor, sigma)
+        m_lvl = _pyramid_level(moving, factor, sigma)
+        tf = lambda p: _rigid_matrix(p, jnp.asarray(center), scale)
+        mfn = _make_metric(f_lvl, m_lvl, metric, tf)
+        params, fs = _adam_minimize(mfn, params, lr, n_it)
+        history.append(np.asarray(fs))
+        f_last = float(np.asarray(fs)[-1])
+
+    R, offset = _rigid_matrix(np.asarray(params), center, scale)
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(R)
+    T[:3, 3] = np.asarray(offset)
+    return RegistrationResult(matrix=T, final_metric=f_last,
+                              metric_history=np.concatenate(history))
+
+
+def register_affine(
+    fixed: Volume,
+    moving: Volume,
+    *,
+    levels: Sequence[int] = (4, 2, 1),
+    sigmas: Sequence[float] = (2.0, 1.0, 0.0),
+    iters: Sequence[int] = (200, 120, 60),
+    lr: float = 0.02,
+    metric: str = "ncc",
+) -> RegistrationResult:
+    """12-DOF affine registration (the FLIRT replacement).
+
+    The 9 matrix entries are optimized as perturbations of identity with a
+    small lr (dimensionless), translations ride the same Adam scaling.
+    """
+    center = np.asarray(fixed.center_world(), np.float32)
+    params = jnp.zeros(12, jnp.float32)
+    history = []
+    f_last = np.nan
+    for factor, sigma, n_it in zip(levels, sigmas, iters):
+        f_lvl = _pyramid_level(fixed, factor, sigma)
+        m_lvl = _pyramid_level(moving, factor, sigma)
+        # translations need mm-scale steps: scale them up inside the transform
+        t_scale = 50.0
+
+        def tf(p):
+            q = jnp.concatenate([p[:9], p[9:] * t_scale])
+            return _affine_matrix(q, jnp.asarray(center))
+
+        mfn = _make_metric(f_lvl, m_lvl, metric, tf)
+        params, fs = _adam_minimize(mfn, params, lr, n_it)
+        history.append(np.asarray(fs))
+        f_last = float(np.asarray(fs)[-1])
+
+    q = np.concatenate([np.asarray(params)[:9], np.asarray(params)[9:] * 50.0])
+    M, offset = _affine_matrix(jnp.asarray(q), jnp.asarray(center))
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(M)
+    T[:3, 3] = np.asarray(offset)
+    return RegistrationResult(matrix=T, final_metric=f_last,
+                              metric_history=np.concatenate(history))
+
+
+def register_and_resample(fixed: Volume, moving: Volume, *, mode: str = "rigid",
+                          method: str = "linear", **kwargs) -> Volume:
+    """Register then resample onto the fixed grid — the ``registration_elastix``
+    call shape (register + implicit warp, reference utils/qmri_utils.py:159-165)."""
+    reg = register_rigid(fixed, moving, **kwargs) if mode == "rigid" else \
+        register_affine(fixed, moving, **kwargs)
+    return resample_to_reference(moving, fixed, transform=reg.matrix, method=method)

@@ -1,0 +1,213 @@
+"""Minimal pure-Python DICOM (Part-10) tag reader.
+
+The execution image has no pydicom, so the framework ships a small reader
+covering what the ingest stage needs (reference utils/dcm_utils.py uses
+pydicom only to probe validity and pull a handful of attributes:
+AcquisitionDateTime, SeriesDescription, Rows/Columns, ImageOrientationPatient,
+PixelSpacing from the per-frame functional groups). Supports explicit and
+implicit VR little-endian transfer syntaxes, including nested sequences with
+defined or undefined lengths. Pixel data is never decoded.
+
+If pydicom IS importable it is used transparently (read_dcm prefers it).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, List, Optional, Tuple
+
+_TAG_NAMES = {
+    (0x0008, 0x0020): "StudyDate",
+    (0x0008, 0x002A): "AcquisitionDateTime",
+    (0x0008, 0x0060): "Modality",
+    (0x0008, 0x103E): "SeriesDescription",
+    (0x0008, 0x1090): "ManufacturerModelName",
+    (0x0010, 0x0010): "PatientName",
+    (0x0018, 0x0050): "SliceThickness",
+    (0x0018, 0x0080): "RepetitionTime",
+    (0x0018, 0x0081): "EchoTime",
+    (0x0018, 0x0087): "MagneticFieldStrength",
+    (0x0018, 0x1314): "FlipAngle",
+    (0x0020, 0x0037): "ImageOrientationPatient",
+    (0x0028, 0x0008): "NumberOfFrames",
+    (0x0028, 0x0010): "Rows",
+    (0x0028, 0x0011): "Columns",
+    (0x0028, 0x0030): "PixelSpacing",
+    (0x0028, 0x9110): "PixelMeasuresSequence",
+    (0x5200, 0x9229): "SharedFunctionalGroupsSequence",
+    (0x5200, 0x9230): "PerFrameFunctionalGroupsSequence",
+    (0x0018, 0x9112): "MRTimingAndRelatedParametersSequence",
+    (0x0018, 0x9114): "MREchoSequence",
+    (0x0018, 0x9082): "EffectiveEchoTime",
+}
+_NAME_TO_TAG = {v: k for k, v in _TAG_NAMES.items()}
+
+_EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+_STOP_TAG = (0x7FE0, 0x0010)  # PixelData — never needed; stop there
+
+
+class InvalidDicomError(ValueError):
+    pass
+
+
+class DicomDataset:
+    """Flat mapping of parsed elements; sequences hold lists of datasets."""
+
+    def __init__(self, elements: Dict[Tuple[int, int], Any]):
+        self._el = elements
+
+    def get(self, key, default=None):
+        tag = _NAME_TO_TAG.get(key, key) if isinstance(key, str) else key
+        return self._el.get(tag, default)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        tag = _NAME_TO_TAG.get(name)
+        if tag is not None and tag in self._el:
+            return self._el[tag]
+        raise AttributeError(f"no DICOM attribute {name!r} parsed")
+
+    def __contains__(self, key):
+        tag = _NAME_TO_TAG.get(key, key) if isinstance(key, str) else key
+        return tag in self._el
+
+    def keys(self):
+        return [(f"{g:04x},{e:04x}", _TAG_NAMES.get((g, e))) for g, e in self._el]
+
+
+def _decode_value(vr: bytes, raw: bytes):
+    if vr in (b"US",):
+        return struct.unpack("<" + "H" * (len(raw) // 2), raw)[0] if len(raw) >= 2 else None
+    if vr in (b"UL",):
+        return struct.unpack("<" + "I" * (len(raw) // 4), raw)[0] if len(raw) >= 4 else None
+    if vr in (b"SS",):
+        return struct.unpack("<h", raw[:2])[0] if len(raw) >= 2 else None
+    if vr in (b"SL",):
+        return struct.unpack("<i", raw[:4])[0] if len(raw) >= 4 else None
+    if vr in (b"FL",):
+        vals = struct.unpack("<" + "f" * (len(raw) // 4), raw)
+        return vals[0] if len(vals) == 1 else list(vals)
+    if vr in (b"FD",):
+        vals = struct.unpack("<" + "d" * (len(raw) // 8), raw)
+        return vals[0] if len(vals) == 1 else list(vals)
+    text = raw.decode("ascii", errors="replace").strip("\x00 ")
+    if vr in (b"DS", b"IS"):
+        parts = [p.strip() for p in text.split("\\") if p.strip()]
+        try:
+            nums = [float(p) if vr == b"DS" else int(p) for p in parts]
+        except ValueError:
+            return text
+        return nums[0] if len(nums) == 1 else nums
+    if "\\" in text:
+        return [p.strip() for p in text.split("\\")]
+    return text
+
+
+def _parse_elements(buf: memoryview, offset: int, end: int, explicit: bool,
+                    stop_at_pixeldata: bool = True) -> Tuple[Dict, int]:
+    out: Dict[Tuple[int, int], Any] = {}
+    pos = offset
+    while pos + 8 <= end:
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        tag = (group, elem)
+        if tag == (0xFFFE, 0xE00D) or tag == (0xFFFE, 0xE0DD):  # item/seq delimiter
+            return out, pos + 8
+        if stop_at_pixeldata and tag == _STOP_TAG:
+            return out, end
+        if explicit and group != 0xFFFE:
+            vr = bytes(buf[pos + 4:pos + 6])
+            if vr in _EXPLICIT_LONG_VRS:
+                length = struct.unpack_from("<I", buf, pos + 8)[0]
+                hdr = 12
+            else:
+                length = struct.unpack_from("<H", buf, pos + 6)[0]
+                hdr = 8
+        else:
+            vr = b"UN"
+            length = struct.unpack_from("<I", buf, pos + 4)[0]
+            hdr = 8
+        body = pos + hdr
+
+        is_sq = vr == b"SQ" or (vr == b"UN" and length == 0xFFFFFFFF) or (
+            not explicit and tag in _TAG_NAMES and _TAG_NAMES[tag].endswith("Sequence"))
+        if is_sq:
+            items: List[DicomDataset] = []
+            sq_end = end if length == 0xFFFFFFFF else body + length
+            ipos = body
+            while ipos + 8 <= sq_end:
+                ig, ie = struct.unpack_from("<HH", buf, ipos)
+                if (ig, ie) == (0xFFFE, 0xE0DD):
+                    ipos += 8
+                    break
+                if (ig, ie) != (0xFFFE, 0xE000):
+                    break
+                ilen = struct.unpack_from("<I", buf, ipos + 4)[0]
+                istart = ipos + 8
+                iend = sq_end if ilen == 0xFFFFFFFF else istart + ilen
+                el, newpos = _parse_elements(buf, istart, iend, explicit, False)
+                items.append(DicomDataset(el))
+                ipos = newpos if ilen == 0xFFFFFFFF else iend
+            out[tag] = items
+            pos = sq_end if length != 0xFFFFFFFF else ipos
+            continue
+
+        if length == 0xFFFFFFFF:
+            raise InvalidDicomError(f"undefined length on non-sequence tag {tag}")
+        raw = bytes(buf[body:body + length])
+        if tag in _TAG_NAMES or group in (0x0008, 0x0010, 0x0018, 0x0020, 0x0028):
+            out[tag] = _decode_value(vr, raw)
+        pos = body + length
+    return out, pos
+
+
+def is_dcm_file(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(132)
+        return len(head) == 132 and head[128:132] == b"DICM"
+    except OSError:
+        return False
+
+
+def read_dcm(path: str) -> DicomDataset:
+    """Parse a Part-10 DICOM file's data elements (no pixel decoding)."""
+    try:
+        import pydicom  # type: ignore
+
+        return pydicom.dcmread(path, stop_before_pixels=True)
+    except ImportError:
+        pass
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 132 or data[128:132] != b"DICM":
+        raise InvalidDicomError(f"{path}: missing DICM magic")
+    buf = memoryview(data)
+
+    # file meta group (always explicit VR LE); read group length to bound it
+    meta, _ = _parse_elements(buf, 132, min(len(data), 132 + 12), True, True)
+    glen = struct.unpack_from("<I", buf, 132 + 8)[0]
+    meta_end = 132 + 12 + glen
+    meta_all, _ = _parse_elements(buf, 132, meta_end, True, True)
+    ts = None
+    # transfer syntax UID tag (0002,0010)
+    pos = 132
+    while pos + 8 <= meta_end:
+        g, e = struct.unpack_from("<HH", buf, pos)
+        vr = bytes(buf[pos + 4:pos + 6])
+        if vr in _EXPLICIT_LONG_VRS:
+            ln = struct.unpack_from("<I", buf, pos + 8)[0]
+            hdr = 12
+        else:
+            ln = struct.unpack_from("<H", buf, pos + 6)[0]
+            hdr = 8
+        if (g, e) == (0x0002, 0x0010):
+            ts = bytes(buf[pos + hdr:pos + hdr + ln]).decode("ascii").strip("\x00 ")
+        pos += hdr + ln
+
+    explicit = ts != "1.2.840.10008.1.2"
+    if ts is not None and ts.startswith("1.2.840.10008.1.2.2"):
+        raise InvalidDicomError(f"{path}: big-endian transfer syntax unsupported")
+    elements, _ = _parse_elements(buf, meta_end, len(data), explicit, True)
+    return DicomDataset(elements)
