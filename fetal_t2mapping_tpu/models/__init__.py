@@ -5,7 +5,7 @@ from .signal import (
     predict_signal,
     MODEL_NAMES,
 )
-from .init import loglinear_init
+from .init import loglinear_init, grid_init
 from .solver import fit_batch, fit_batch_multistart, fit_batch_traced, FitResult
 from .t2map import fit_stack, T2FitOutput
 
@@ -16,6 +16,7 @@ __all__ = [
     "predict_signal",
     "MODEL_NAMES",
     "loglinear_init",
+    "grid_init",
     "fit_batch",
     "fit_batch_multistart",
     "fit_batch_traced",

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..config import FitConfig, NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS
 from ..core.stack import EchoStack
 from ..core.volume import Volume
-from .init import loglinear_init
+from .init import grid_init, loglinear_init
 from .signal import predict_signal, make_objective
 from .solver import fit_batch, fit_batch_multistart, fit_batch_traced
 
@@ -84,10 +84,12 @@ def fit_stack(
     t0 = time.time()
     if cfg.n_params == 3 and cfg.loglinear_init:
         # non-convex 3-param objectives: multistart from the log-linear
-        # estimate AND the protocol initial guess, keep the better minimum
+        # estimate, the T2 grid-scan basin, and the protocol initial guess;
+        # keep the best minimum per voxel
         x0_cfg = np.clip(np.tile(np.asarray(cfg.initial_guess, np.float32),
                                  (batch.shape[0], 1)), lo, hi)
-        x0s = np.stack([np.asarray(x0), x0_cfg])
+        x0_grid = np.asarray(grid_init(batch, te, lo, hi))
+        x0s = np.stack([np.asarray(x0), x0_grid, x0_cfg])
         result = fit_batch_multistart(
             batch, te, x0s, lo, hi,
             model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,

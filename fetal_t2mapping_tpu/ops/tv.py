@@ -56,7 +56,9 @@ def _tv2d(image, weight: float, eps: float, max_iter: int):
         u = img + d
         g = _grad2d(u)
         norm = jnp.sqrt(jnp.sum(jnp.square(g), axis=0))
-        p_new = (p - tau * g) / (1.0 + (tau / weight) * norm)[None]
+        # sign: our _div2d is the NEGATIVE of skimage's d, so the dual ascent
+        # step is +tau*g under this convention
+        p_new = (p + tau * g) / (1.0 + (tau / weight) * norm)[None]
         e_new = energy(img + _div2d(p_new))
         return p_new, e_prev, e_new, i + 1
 

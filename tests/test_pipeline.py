@@ -1,0 +1,139 @@
+"""End-to-end pipeline tests over a synthetic BIDS tree.
+
+Mirrors the reference's quality-control design: the NIST-phantom layout with
+known T2 per sphere is the accuracy oracle (reference run_t2mapping.py:14-27,
+utils/t2map_utils.py:30-59).
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fetal_t2mapping_tpu import config as C
+from fetal_t2mapping_tpu.core import Volume, nifti
+from fetal_t2mapping_tpu.labels.phantom import phantom_labels_from_seeds
+from fetal_t2mapping_tpu.labels.synthseg import SynthSegRunner
+from fetal_t2mapping_tpu.pipeline.recon_pipeline import (
+    build_phantom_labels,
+    run_feta_labels,
+    run_masks_and_bet,
+    run_segmentation,
+)
+from fetal_t2mapping_tpu.pipeline.t2map_pipeline import process_t2maps
+from fetal_t2mapping_tpu.utils.bids import get_img_path
+from fetal_t2mapping_tpu.utils.metadata import set_metadata
+
+TES = [114, 202, 299]
+SEEDS = [[8, 8, 10], [24, 8, 10], [40, 8, 10],
+         [8, 24, 10], [24, 24, 10], [40, 24, 10],
+         [8, 40, 10], [24, 40, 10], [40, 40, 10]]  # (x, y, z)
+GT_LF = [594, 416, 284, 221, 167, 122, 80, 53, 41]
+K_TRUE = 650.0
+
+
+def _make_phantom_tree(root):
+    """Synthesize recon + mask derivatives and the metadata log."""
+    bids = os.path.join(root, "projects/")
+    logs = os.path.join(root, "dicom/logs/")
+    os.makedirs(logs, exist_ok=True)
+    shape = (20, 48, 48)  # (z, y, x)
+    geom = Volume(np.zeros(shape, np.float32), spacing=(1, 1, 1), origin=(0, 0, 0))
+    labels = np.asarray(phantom_labels_from_seeds(geom, SEEDS, radius=3).data)
+    t2_map = np.zeros(shape, np.float32)
+    for i, gt in enumerate(GT_LF, start=1):
+        t2_map[labels == i] = gt
+    mask = (labels > 0).astype(np.uint8)
+
+    rows = []
+    for te in TES:
+        acq = {"prj": "prj-003", "sub": "sub-001", "ses": "ses-01",
+               "run": f"run-{te}", "EchoTime": te / 1000.0,
+               "ImageOrientationPatientSTR": "ax", "CoilString": "Body"}
+        sig = np.where(mask > 0, K_TRUE * np.exp(-te / np.maximum(t2_map, 1e-3)), 0.0)
+        nifti.write(get_img_path(bids, acq, C.RECON_DIRNAME), geom.with_data(sig.astype(np.float32)))
+        nifti.write(get_img_path(bids, acq, C.MASK_DIRNAME), geom.with_data(mask))
+        rows.append(acq)
+    pd.DataFrame(rows).to_csv(os.path.join(logs, "synthetic.csv"), index=False)
+    return bids, logs, labels
+
+
+class TestPhantomPipeline:
+    def test_in_vitro_end_to_end(self, tmp_path):
+        root = str(tmp_path / "qMRI")
+        bids, logs, _ = _make_phantom_tree(root)
+        metadata = set_metadata(logs, ["synthetic.csv"], low_field=True)
+
+        # stage 2 (in-vitro): phantom sphere labels from seeds
+        build_phantom_labels(metadata, bids, SEEDS, radius=3)
+        lbl_path = os.path.join(bids, "prj-003/derivatives", C.PHANTOM_LABELS_DIRNAME,
+                                "sub-001/ses-01/anat")
+        assert len(os.listdir(lbl_path)) == len(TES)
+
+        # stage 3: fit + maps + ROI CSV
+        cfg = C.fit_config("gaussian", low_field=True)
+        summaries = process_t2maps(
+            metadata, bids, TES, cfg, phantom=True, low_field=True,
+            fast=False, sim="t", make_plots=True)
+        assert len(summaries) == 1
+        s = summaries[0]
+        assert s["converged_frac"] > 0.99
+
+        # maps on disk with recon geometry
+        t2_path = s["maps"]["t2"]
+        assert os.path.exists(t2_path)
+        t2 = nifti.read(t2_path)
+        assert t2.shape == (20, 48, 48)
+
+        # phantom ROI stats vs ground truth
+        df = pd.read_csv(s["roi_csv"])
+        assert list(df["id"]) == [f"T2-{i}" for i in range(3, 12)]
+        np.testing.assert_allclose(df["trueT2"], GT_LF)
+        rel = np.abs(df["meanT2"].to_numpy() - np.asarray(GT_LF)) / np.asarray(GT_LF)
+        assert rel.max() < 1e-3, f"phantom ROI errors: {rel}"
+        np.testing.assert_allclose(df["meanK"], K_TRUE, rtol=1e-3)
+
+        # convergence figures written
+        ada = os.path.join(bids, "prj-003/ada/convergence_analysis")
+        assert len(os.listdir(ada)) == 3
+
+    def test_missing_te_skips_session(self, tmp_path):
+        root = str(tmp_path / "qMRI")
+        bids, logs, _ = _make_phantom_tree(root)
+        metadata = set_metadata(logs, ["synthetic.csv"], low_field=True)
+        cfg = C.fit_config("gaussian", low_field=True)
+        summaries = process_t2maps(metadata, bids, [114, 202, 299, 500], cfg,
+                                   phantom=True, sim="t", make_plots=False)
+        assert summaries == []
+
+    def test_fast_mode_roi_only(self, tmp_path):
+        root = str(tmp_path / "qMRI")
+        bids, logs, labels = _make_phantom_tree(root)
+        metadata = set_metadata(logs, ["synthetic.csv"], low_field=True)
+        build_phantom_labels(metadata, bids, SEEDS, radius=2)  # smaller than mask
+        cfg = C.fit_config("gaussian", low_field=True)
+        summaries = process_t2maps(metadata, bids, TES, cfg, phantom=True,
+                                   fast=True, sim="t", make_plots=False)
+        n_labeled = int(np.asarray(
+            phantom_labels_from_seeds(
+                Volume(np.zeros((20, 48, 48), np.float32)), SEEDS, radius=2).data > 0).sum())
+        assert summaries[0]["n_voxels"] == n_labeled
+
+
+class TestInVivoDerivatives:
+    def test_segmentation_masks_feta(self, tmp_path):
+        root = str(tmp_path / "qMRI")
+        bids, logs, _ = _make_phantom_tree(root)
+        metadata = set_metadata(logs, ["synthetic.csv"], low_field=True)
+        run_segmentation(metadata, bids, SynthSegRunner(mode="fake"))
+        run_masks_and_bet(metadata, bids)
+        run_feta_labels(metadata, bids)
+        base = os.path.join(bids, "prj-003/derivatives")
+        for d in (C.SYNTHSEG_DIRNAME, C.MASK_DIRNAME, C.BET_DIRNAME, C.FETA_DIRNAME):
+            files = os.listdir(os.path.join(base, d, "sub-001/ses-01/anat"))
+            assert len(files) == len(TES), (d, files)
+        # feta volumes only contain valid classes
+        feta_dir = os.path.join(base, C.FETA_DIRNAME, "sub-001/ses-01/anat")
+        feta = nifti.read(os.path.join(feta_dir, sorted(os.listdir(feta_dir))[0]))
+        assert set(np.unique(np.asarray(feta.data)).tolist()) <= set(range(8))
