@@ -26,7 +26,7 @@ BASELINE_VOXELS_PER_SEC = 16_777_216 / 150.0
 def main():
     import jax
     from fetal_t2mapping_tpu.models.init import loglinear_init
-    from fetal_t2mapping_tpu.models.solver import fit_batch
+    from fetal_t2mapping_tpu.models.solver import fit_batch_twophase
 
     n = N_SIDE ** 3
     rng = np.random.default_rng(0)
@@ -38,30 +38,38 @@ def main():
     lo = (0.0, 10.0)
     hi = (1e6, 2000.0)
 
-    @jax.jit
+    init = jax.jit(lambda signal, te: loglinear_init(signal, te, lo, hi))
+
     def fit(signal, te):
-        x0 = loglinear_init(signal, te, lo, hi)
-        return fit_batch(signal, te, x0, lo, hi, model="gaussian", max_iters=40)
+        x0 = init(signal, te)
+        return fit_batch_twophase(signal, te, x0, lo, hi, model="gaussian",
+                                  phase1_iters=10, max_iters=60)
 
     sig_dev = jax.device_put(sig)
     te_dev = jax.device_put(TES)
 
-    # warmup/compile
+    # warmup/compile (phase-2 tail shape is data-determined and cached)
     res = fit(sig_dev, te_dev)
-    res.x.block_until_ready()
 
-    # accuracy gate vs ground truth
+    # accuracy gate: BASELINE.md metric — rel T2 error vs scipy curve_fit on
+    # a subsample (noise-limited truth error is NOT the solver's error)
+    from fetal_t2mapping_tpu.models.oracle import curve_fit_t2
+
     x = np.asarray(res.x)
-    rel = np.abs(x[:, 1] - t2) / t2
-    med_rel = float(np.median(rel))
-    if med_rel > 5e-3:
-        print(f"accuracy gate failed: median rel T2 err {med_rel}", file=sys.stderr)
+    idx = np.random.default_rng(1).choice(n, 256, replace=False)
+    ref = curve_fit_t2(sig[idx], TES, lo=lo, hi=hi)
+    interior = (ref[:, 1] > 15.0) & (ref[:, 1] < 1900.0)
+    rel_cf = np.abs(x[idx][interior, 1] - ref[interior, 1]) / ref[interior, 1]
+    med_rel = float(np.median(np.abs(x[:, 1] - t2) / t2))
+    if rel_cf.max() > 1e-3:
+        print(f"accuracy gate failed: max rel T2 err vs curve_fit {rel_cf.max():.2e}",
+              file=sys.stderr)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = fit(sig_dev, te_dev)
-        out.x.block_until_ready()
+        np.asarray(out.x)  # forces full sync (host merge already syncs phase 2)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
@@ -73,7 +81,8 @@ def main():
         "vs_baseline": round(rate / BASELINE_VOXELS_PER_SEC, 2),
     }))
     print(f"# 256^3 x {len(TES)} TEs gaussian fit: {dt*1e3:.1f} ms/volume, "
-          f"median rel T2 err {med_rel:.2e}, converged {float(np.mean(np.asarray(res.converged))):.3f}",
+          f"max rel T2 err vs curve_fit {rel_cf.max():.2e} (median vs truth {med_rel:.2e}), "
+          f"converged {float(np.mean(np.asarray(res.converged))):.3f}",
           file=sys.stderr)
 
 

@@ -128,3 +128,36 @@ def t2_per_atlas_roi(
             "nvoxel": int(data.size),
         })
     return pd.DataFrame(rows)
+
+
+def t2_per_tissue_feta(t2map: np.ndarray, feta: np.ndarray, *, erode: bool = True,
+                       gt: Optional[Dict[str, float]] = None) -> pd.DataFrame:
+    """Per-FeTA-tissue T2 stats, optional MAPE vs literature ground truth.
+
+    Reference semantics: utils/ada_utils.py:885-968 — each tissue class mask
+    is eroded one voxel (26-connected) before aggregation; when a ground
+    truth table is given, mean-absolute-percentage error is reported.
+    """
+    rows = []
+    t2map = np.asarray(t2map)
+    feta = np.asarray(feta)
+    for label in FETA_LABELS:
+        if label["index"] == 0:
+            continue
+        sel = feta == label["index"]
+        if erode:
+            sel = _erode_bool(sel)
+        data = t2map[sel]
+        row = {
+            "tissue": label["name"],
+            "index": label["index"],
+            "mean": float(np.mean(data)) if data.size else np.nan,
+            "median": float(np.median(data)) if data.size else np.nan,
+            "std": float(np.std(data)) if data.size else np.nan,
+            "nvoxel": int(data.size),
+        }
+        if gt and label["name"] in gt and data.size:
+            row["gt"] = gt[label["name"]]
+            row["mape"] = float(np.mean(np.abs(data - gt[label["name"]]) / gt[label["name"]]) * 100)
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -6,7 +6,13 @@ from .signal import (
     MODEL_NAMES,
 )
 from .init import loglinear_init, grid_init
-from .solver import fit_batch, fit_batch_multistart, fit_batch_traced, FitResult
+from .solver import (
+    fit_batch,
+    fit_batch_multistart,
+    fit_batch_traced,
+    fit_batch_twophase,
+    FitResult,
+)
 from .t2map import fit_stack, T2FitOutput
 
 __all__ = [
@@ -20,6 +26,7 @@ __all__ = [
     "fit_batch",
     "fit_batch_multistart",
     "fit_batch_traced",
+    "fit_batch_twophase",
     "FitResult",
     "fit_stack",
     "T2FitOutput",

@@ -20,8 +20,8 @@ from ..config import FitConfig, NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS
 from ..core.stack import EchoStack
 from ..core.volume import Volume
 from .init import grid_init, loglinear_init
-from .signal import predict_signal, make_objective
-from .solver import fit_batch, fit_batch_multistart, fit_batch_traced
+from .signal import predict_signal
+from .solver import fit_batch_multistart, fit_batch_traced, fit_batch_twophase
 
 
 @dataclasses.dataclass
@@ -95,7 +95,7 @@ def fit_stack(
             model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
         )
     else:
-        result = fit_batch(
+        result = fit_batch_twophase(
             batch, te, x0, lo, hi,
             model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
         )

@@ -201,6 +201,40 @@ def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
             nifti.write(os.path.join(out_dir, f"{sub}_{ses}_{name}.nii.gz"), labels, dtype=np.int16)
 
 
+def downsample_labels(metadata: pd.DataFrame, bids_path: str,
+                      high_dirname: str, low_dirname: str) -> None:
+    """Nearest-neighbour resample of HR label maps back to acquisition grids
+    (reference utils/qmri_utils.py:504-530)."""
+    for (prj, sub, ses), md in metadata.groupby(["prj", "sub", "ses"]):
+        for _, acq in md.iterrows():
+            high = nifti.read(get_img_path(bids_path, acq, high_dirname))
+            ref = nifti.read(get_img_path(bids_path, acq, C.IN_DIRNAME))
+            if high.shape == ref.shape and high.same_geometry(ref):
+                low = high
+            else:
+                low = resample_to_reference(high, ref, method="nearest")
+            nifti.write(get_img_path(bids_path, acq, low_dirname), low, dtype=np.int16)
+
+
+def downsample_masks(metadata: pd.DataFrame, bids_path: str,
+                     high_dirname: str, low_dirname: str) -> None:
+    """Mask downsampling with dilate+close+open regularization
+    (reference utils/qmri_utils.py:568-589)."""
+    from ..ops.morphology import binary_closing, binary_dilate, binary_opening
+
+    for (prj, sub, ses), md in metadata.groupby(["prj", "sub", "ses"]):
+        for _, acq in md.iterrows():
+            high = nifti.read(get_img_path(bids_path, acq, high_dirname))
+            ref = nifti.read(get_img_path(bids_path, acq, C.IN_DIRNAME))
+            low = resample_to_reference(high, ref, method="nearest")
+            m = np.asarray(low.data) > 0
+            m = np.asarray(binary_dilate(m, 2))
+            m = np.asarray(binary_closing(m, 1))
+            m = np.asarray(binary_opening(m, 1))
+            out_path = get_img_path(bids_path, acq, low_dirname).replace("masks.nii", "mask.nii")
+            nifti.write(out_path, low.with_data(m.astype(np.uint8)), dtype=np.uint8)
+
+
 def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
                          seeds: Sequence[Sequence[int]], radius: int = 6) -> None:
     """In-vitro: sphere labels from seed voxels (reference :868-933)."""

@@ -65,14 +65,14 @@ def process_t2maps(
                 te_found.append(round(echotime * 1000))
                 recons.append(nifti.read(get_img_path(bids_path, acq, C.RECON_DIRNAME).replace(" ", "")))
                 masks.append(nifti.read(get_img_path(bids_path, acq, C.MASK_DIRNAME).replace(" ", "")))
-                if phantom:
-                    label_vol = nifti.read(
-                        get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME).replace(" ", ""))
 
             if sorted(te_found) != sorted(tes):
                 log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
                             sub, ses, te_found, tes)
                 continue
+            if phantom:
+                label_vol = nifti.read(
+                    get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME).replace(" ", ""))
 
             stack = EchoStack.from_volumes(recons, masks, te_found)
             if phantom and fast:
