@@ -13,6 +13,7 @@ from .solver import (
     fit_batch_twophase,
     FitResult,
 )
+from .pallas_fit import fit_fused
 from .t2map import fit_stack, T2FitOutput
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "fit_batch_traced",
     "fit_batch_twophase",
     "FitResult",
+    "fit_fused",
     "fit_stack",
     "T2FitOutput",
 ]

@@ -203,50 +203,57 @@ def fit_batch(signal, te, x0, lo, hi, *, model: str, max_iters: int = 60,
     return FitResult(x=x, fun=f, converged=conv, n_iter=nit)
 
 
+def _tail_partition(conv, capacity: int):
+    """On-device stable partition: indices of up to ``capacity`` unconverged
+    voxels via cumsum + drop-mode scatter — O(N), no sort, NO host sync
+    (a host round trip costs more than the whole fit on a tunneled chip).
+
+    Returns (tail_idx (capacity,), n_tail). Slots past n_tail point at
+    voxel 0; callers mask them out on merge.
+    """
+    unconv = ~conv
+    rank = jnp.cumsum(unconv.astype(jnp.int32)) - 1
+    dest = jnp.where(unconv, rank, capacity)          # converged -> dropped
+    tail_idx = jnp.zeros((capacity,), jnp.int32).at[dest].set(
+        jnp.arange(conv.shape[0], dtype=jnp.int32), mode="drop")
+    return tail_idx, jnp.sum(unconv.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "phase1_iters", "max_iters", "ftol", "gtol", "tail_frac"))
 def fit_batch_twophase(signal, te, x0, lo, hi, *, model: str,
                        phase1_iters: int = 12, max_iters: int = 60,
                        ftol: float = 1e-9, gtol: float = 0.0,
-                       granule: int = 8192) -> FitResult:
+                       tail_frac: float = 0.125) -> FitResult:
     """Two-phase fit: short lock-step pass, then compact the stragglers.
 
     In one lock-step batch, the slowest ~1% of voxels make ALL voxels pay
     for the full iteration budget (the while_loop exits only when everyone
     converges). Phase 1 runs a short budget over the whole batch — the
     log-linear start converges the vast majority in a handful of Newton
-    steps — then the unconverged tail is gathered into a small padded batch
-    (one host sync) and iterated to the full budget. 2-4x wall-clock on the
-    256^3 benchmark for identical results.
+    steps — then the unconverged tail is compacted into a fixed-capacity
+    buffer (``tail_frac`` of N) and iterated to the full budget, entirely
+    on device inside one jit. Voxels beyond capacity keep phase-1 results.
     """
-    import numpy as np
-
-    from ..core.stack import pad_bucket
-
-    n, p = np.shape(x0)
-    lo_b = np.broadcast_to(np.asarray(lo, np.float32), (n, p))
-    hi_b = np.broadcast_to(np.asarray(hi, np.float32), (n, p))
-    r1 = fit_batch(signal, te, x0, lo_b, hi_b, model=model,
+    dtype = jnp.asarray(signal).dtype
+    signal, te, x0, lo, hi = _prep(signal, te, x0, lo, hi, dtype)
+    n = x0.shape[0]
+    r1 = fit_batch(signal, te, x0, lo, hi, model=model,
                    max_iters=phase1_iters, ftol=ftol, gtol=gtol)
-    conv = np.array(r1.converged)  # writable host copy
-    tail = np.flatnonzero(~conv)
-    if tail.size == 0:
-        return r1
 
-    m = pad_bucket(int(tail.size), granule)
-    sel = np.empty(m, np.int64)
-    sel[: tail.size] = tail
-    sel[tail.size:] = tail[-1]
-    sig_np = np.asarray(signal)
-    x1 = np.asarray(r1.x)
-    r2 = fit_batch(sig_np[sel], te, x1[sel], lo_b[sel], hi_b[sel], model=model,
-                   max_iters=max_iters - phase1_iters, ftol=ftol, gtol=gtol)
+    capacity = min(n, max(128, int(n * tail_frac) // 128 * 128))
+    tail_idx, n_tail = _tail_partition(r1.converged, capacity)
+    r2 = fit_batch(signal[tail_idx], te, r1.x[tail_idx],
+                   lo[tail_idx], hi[tail_idx], model=model,
+                   max_iters=max(max_iters - phase1_iters, 0),
+                   ftol=ftol, gtol=gtol)
 
-    x = np.array(x1)
-    fun = np.array(r1.fun)
-    nit = np.array(r1.n_iter)
-    x[tail] = np.asarray(r2.x)[: tail.size]
-    fun[tail] = np.asarray(r2.fun)[: tail.size]
-    conv[tail] = np.asarray(r2.converged)[: tail.size]
-    nit[tail] += np.asarray(r2.n_iter)[: tail.size]
+    valid = jnp.arange(capacity) < n_tail
+    safe_idx = jnp.where(valid, tail_idx, n)          # n -> dropped by scatter
+    x = r1.x.at[safe_idx].set(r2.x, mode="drop")
+    fun = r1.fun.at[safe_idx].set(r2.fun, mode="drop")
+    conv = r1.converged.at[safe_idx].set(r2.converged, mode="drop")
+    nit = r1.n_iter.at[safe_idx].add(r2.n_iter, mode="drop")
     return FitResult(x=x, fun=fun, converged=conv, n_iter=nit)
 
 

@@ -13,6 +13,7 @@ import dataclasses
 import time
 from typing import Dict, Optional
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ from ..config import FitConfig, NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS
 from ..core.stack import EchoStack
 from ..core.volume import Volume
 from .init import grid_init, loglinear_init
+from .pallas_fit import fit_fused
 from .signal import predict_signal
 from .solver import fit_batch_multistart, fit_batch_traced, fit_batch_twophase
 
@@ -93,6 +95,13 @@ def fit_stack(
         result = fit_batch_multistart(
             batch, te, x0s, lo, hi,
             model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
+        )
+    elif (cfg.model == "gaussian" and cfg.prior and cfg.loglinear_init
+          and jax.default_backend() != "cpu"):
+        # uniform scalar bounds + gaussian: the fused Pallas kernel path
+        result = fit_fused(
+            batch, te, cfg.lower, cfg.upper,
+            max_iters=cfg.max_iters, ftol=cfg.ftol,
         )
     else:
         result = fit_batch_twophase(
