@@ -8,7 +8,10 @@ through this file and run on the real TPU chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the shell environment pins JAX_PLATFORMS to the
+# tunneled TPU backend, and running the test suite against a remote chip makes
+# every tiny jit a multi-second remote compile (observed: >10 min full suite).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -36,6 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fgh import FGH, N_PARAMS, VALUE
 from .solver import FitResult, _tail_partition
 
 _LANE = 128
@@ -170,6 +171,215 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
     stats_ref[2] = nit
 
 
+# ------------------------------------------------- generic 3-param kernel
+def _masked_solve3(h, g, fm, lam):
+    """Damped reduced 3x3 Newton solve, elementwise over tiles.
+
+    Pinned coordinates (fm=0) get identity rows/cols; Marquardt damping
+    scales each diagonal by (1 + lam). Returns the step tuple (already
+    masked to free coordinates)."""
+    a = [[h[i][j] * fm[i] * fm[j] for j in range(3)] for i in range(3)]
+    for i in range(3):
+        a[i][i] = a[i][i] + (1.0 - fm[i])
+        a[i][i] = a[i][i] + lam * jnp.maximum(jnp.abs(a[i][i]), 1e-12)
+    b = [g[i] * fm[i] for i in range(3)]
+    c00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+    c01 = a[1][2] * a[2][0] - a[1][0] * a[2][2]
+    c02 = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+    det = a[0][0] * c00 + a[0][1] * c01 + a[0][2] * c02
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    c10 = a[0][2] * a[2][1] - a[0][1] * a[2][2]
+    c11 = a[0][0] * a[2][2] - a[0][2] * a[2][0]
+    c12 = a[0][1] * a[2][0] - a[0][0] * a[2][1]
+    c20 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
+    c21 = a[0][2] * a[1][0] - a[0][0] * a[1][2]
+    c22 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+    p0 = -(c00 * b[0] + c10 * b[1] + c20 * b[2]) / det * fm[0]
+    p1 = -(c01 * b[0] + c11 * b[1] + c21 * b[2]) / det * fm[1]
+    p2 = -(c02 * b[0] + c12 * b[1] + c22 * b[2]) / det * fm[2]
+    return p0, p1, p2
+
+
+def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
+    """Bounded damped-Newton loop for one start; x0 = (k, t2, sg) tiles."""
+    fgh_fn = FGH[model]
+    val_fn = VALUE[model]
+    x0 = tuple(jnp.clip(xi, l, h) for xi, l, h in zip(x0, lo, hi))
+    f0 = val_fn(x0, s, te)
+    shape = x0[0].shape
+    tol_b = tuple(1e-8 * max(h - l, 1.0) for l, h in zip(lo, hi))
+
+    def body(carry):
+        x, f, lam, convf, nit, it = carry
+        conv = convf > 0.5
+        _, g, h = fgh_fn(x, s, te)
+        free = [~(((x[i] <= lo[i] + tol_b[i]) & (g[i] > 0))
+                  | ((x[i] >= hi[i] - tol_b[i]) & (g[i] < 0))) for i in range(3)]
+        fm = [fi.astype(f.dtype) for fi in free]
+        p = _masked_solve3(h, g, fm, lam)
+        x_new = tuple(jnp.clip(x[i] + p[i], lo[i], hi[i]) for i in range(3))
+        f_new = val_fn(x_new, s, te)
+
+        accept = f_new <= f
+        rel_red = (f - f_new) / jnp.maximum(jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
+        conv_f = accept & (rel_red <= ftol) & (lam <= 1.0)
+        step_sq = sum(jnp.square(x_new[i] - x[i]) for i in range(3))
+        conv_x = step_sq <= _XTOL_REL * _XTOL_REL * (
+            1.0 + sum(jnp.square(x[i]) for i in range(3)))
+        if gtol > 0:
+            pg = [jnp.where(x[i] <= lo[i] + tol_b[i], jnp.minimum(g[i], 0.0),
+                            jnp.where(x[i] >= hi[i] - tol_b[i],
+                                      jnp.maximum(g[i], 0.0), g[i]))
+                  for i in range(3)]
+            conv_g = jnp.maximum(jnp.maximum(jnp.abs(pg[0]), jnp.abs(pg[1])),
+                                 jnp.abs(pg[2])) <= gtol
+        else:
+            conv_g = jnp.zeros_like(accept)
+        newly = (conv_f | conv_x | conv_g | (lam >= _LAM_STALL)) & ~conv
+
+        upd = accept & ~conv
+        x = tuple(jnp.where(upd, xn, xo) for xn, xo in zip(x_new, x))
+        f = jnp.where(upd, f_new, f)
+        lam_new = jnp.where(accept, lam * _LAM_DOWN, lam * _LAM_UP)
+        lam = jnp.where(conv, lam, jnp.clip(lam_new, _LAM_MIN, _LAM_MAX))
+        nit = nit + upd.astype(jnp.float32)
+        convf = jnp.maximum(convf, newly.astype(jnp.float32))
+        return (x, f, lam, convf, nit, it + 1)
+
+    def cond(carry):
+        return (carry[5] < max_iters) & (jnp.min(carry[3]) < 0.5)
+
+    carry0 = (x0, f0, jnp.full(shape, _LAM0, jnp.float32),
+              jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+              jnp.asarray(0, jnp.int32))
+    x, f, _, convf, nit, _ = lax.while_loop(cond, body, carry0)
+    return x, f, convf, nit
+
+
+def _loglin_start3(s, te, lo, hi):
+    """Log-linear (k, t2) + RMS-residual sigma, as tiles."""
+    T = len(te)
+    y = [jnp.log(jnp.maximum(st, 1e-6)) for st in s]
+    w = [jnp.square(jnp.maximum(st, 1e-6)) for st in s]
+    sw = sum(w)
+    st_ = sum(wt * t for wt, t in zip(w, te))
+    stt = sum(wt * t * t for wt, t in zip(w, te))
+    sy = sum(wt * yt for wt, yt in zip(w, y))
+    sty = sum(wt * t * yt for wt, t, yt in zip(w, te, y))
+    det = sw * stt - st_ * st_
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    b = (sw * sty - st_ * sy) / det
+    a = (sy - b * st_) / sw
+    t2 = jnp.where(b < -1e-12, -1.0 / b, 2000.0)
+    k = jnp.exp(jnp.clip(a, -30.0, 30.0))
+    u_inv = -1.0 / jnp.clip(t2, lo[1], hi[1])
+    kc = jnp.clip(k, lo[0], hi[0])
+    sse = sum(jnp.square(st - kc * jnp.exp(t * u_inv)) for st, t in zip(s, te)) / T
+    sg = jnp.sqrt(sse + 1e-12)
+    return (kc, jnp.clip(t2, lo[1], hi[1]), jnp.clip(sg, lo[2], hi[2]))
+
+
+def _grid_start3(s, te, lo, hi, n_grid=12):
+    """T2 grid-scan basin selection: the per-candidate exponentials are
+    compile-time constants (static te x static t2 grid), so the whole scan
+    is fused multiply-adds — no transcendentals."""
+    import math
+    T = len(te)
+    t2_lo = max(lo[1], 1.0)
+    t2_hi = max(hi[1], t2_lo + 1.0)
+    best_sse = None
+    best_k = None
+    best_t2 = None
+    for gidx in range(n_grid):
+        frac = 0.02 + 0.96 * gidx / (n_grid - 1)
+        t2_g = math.exp(math.log(t2_lo) + frac * (math.log(t2_hi) - math.log(t2_lo)))
+        e = [math.exp(-t / t2_g) for t in te]          # python floats
+        ee = sum(ei * ei for ei in e)
+        k_g = sum(st * ei for st, ei in zip(s, e)) / ee
+        k_g = jnp.clip(k_g, lo[0], hi[0])
+        sse = sum(jnp.square(st - k_g * ei) for st, ei in zip(s, e)) / T
+        if best_sse is None:
+            best_sse, best_k, best_t2 = sse, k_g, jnp.full_like(k_g, t2_g)
+        else:
+            better = sse < best_sse
+            best_k = jnp.where(better, k_g, best_k)
+            best_t2 = jnp.where(better, t2_g, best_t2)
+            best_sse = jnp.minimum(sse, best_sse)
+    sg = jnp.sqrt(best_sse + 1e-12)
+    return (best_k, jnp.clip(best_t2, lo[1], hi[1]), jnp.clip(sg, lo[2], hi[2]))
+
+
+def _kernel3_body(model, te, lo, hi, guess, max_iters, ftol, gtol,
+                  sig_ref, params_ref, stats_ref):
+    """One (T, BR, 128) block: 3-start multistart Newton fit, 3-param models.
+
+    Starts mirror models.t2map's host multistart (log-linear, T2 grid-scan,
+    protocol initial guess); each runs the full bounded Newton loop in VMEM
+    and the best final objective wins per voxel."""
+    T = len(te)
+    s = [sig_ref[t] for t in range(T)]
+    shape = s[0].shape
+
+    starts = [
+        _loglin_start3(s, te, lo, hi),
+        _grid_start3(s, te, lo, hi),
+        tuple(jnp.full(shape, min(max(gi, li), hi_i), jnp.float32)
+              for gi, li, hi_i in zip(guess, lo, hi)),
+    ]
+    best = None
+    for x0 in starts:
+        x, f, convf, nit = _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0)
+        if best is None:
+            best = (x, f, convf, nit)
+        else:
+            bx, bf, bc, bn = best
+            take = f < bf
+            best = (tuple(jnp.where(take, xi, bxi) for xi, bxi in zip(x, bx)),
+                    jnp.where(take, f, bf),
+                    jnp.where(take, convf, bc),
+                    jnp.where(take, nit, bn))
+    x, f, convf, nit = best
+    params_ref[0] = x[0]
+    params_ref[1] = x[1]
+    params_ref[2] = x[2]
+    stats_ref[0] = f
+    stats_ref[1] = convf
+    stats_ref[2] = nit
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "te", "lo", "hi", "guess", "max_iters", "ftol", "gtol", "interpret"))
+def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
+                interpret=False):
+    """Run the 3-param kernel over (T, R, 128) tiles."""
+    T, R, _ = sig_tiles.shape
+    br = min(_BR, R)
+    grid = (pl.cdiv(R, br),)
+    kernel = functools.partial(_kernel3_body, model, te, lo, hi, guess,
+                               max_iters, ftol, gtol)
+    params, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((T, br, _LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, _LANE), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(R) * _LANE * max_iters * 600,
+            bytes_accessed=(T + 6) * int(R) * _LANE * 4,
+            transcendentals=int(R) * _LANE * max_iters * T * 8,
+        ),
+        interpret=interpret,
+    )(sig_tiles)
+    return params, stats
+
+
 @functools.partial(jax.jit,
                    static_argnames=("te", "lo", "hi", "max_iters", "ftol", "interpret"))
 def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol, interpret=False):
@@ -216,17 +426,29 @@ def _from_tiles(arr: jax.Array, n: int) -> jax.Array:
     return jnp.transpose(arr.reshape(c, -1), (1, 0))[:n]
 
 
+def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
+               interpret):
+    if model == "gaussian":
+        return _gauss_fit_tiles(tiles, te=te, lo=lo, hi=hi,
+                                max_iters=max_iters, ftol=ftol,
+                                interpret=interpret)
+    return _fit3_tiles(tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
+                       max_iters=max_iters, ftol=ftol, gtol=gtol,
+                       interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "te", "lo", "hi", "phase1_iters", "max_iters", "ftol", "tail_frac", "interpret"))
-def _fit_fused_impl(signal, *, te, lo, hi, phase1_iters, max_iters, ftol,
-                    tail_frac, interpret):
+    "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
+    "gtol", "tail_frac", "interpret"))
+def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
+                    max_iters, ftol, gtol, tail_frac, interpret):
     n = signal.shape[0]
     tiles, n_pad = _to_tiles(signal, n)
-    params1, stats1 = _gauss_fit_tiles(
-        tiles, te=te, lo=lo, hi=hi, max_iters=phase1_iters, ftol=ftol,
-        interpret=interpret)
+    params1, stats1 = _run_tiles(
+        tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
+        max_iters=phase1_iters, ftol=ftol, gtol=gtol, interpret=interpret)
 
-    x1 = _from_tiles(params1, n)                       # (N, 2)
+    x1 = _from_tiles(params1, n)                       # (N, P)
     fun1 = _from_tiles(stats1, n)                      # (N, 3): f, conv, nit
     conv1 = fun1[:, 1] > 0.5
 
@@ -239,9 +461,9 @@ def _fit_fused_impl(signal, *, te, lo, hi, phase1_iters, max_iters, ftol,
     # re-treads phase 1's steps deterministically before going further.
     sig_tail = signal[tail_idx]
     tiles2, _ = _to_tiles(sig_tail, capacity)
-    params2, stats2 = _gauss_fit_tiles(
-        tiles2, te=te, lo=lo, hi=hi, max_iters=max_iters, ftol=ftol,
-        interpret=interpret)
+    params2, stats2 = _run_tiles(
+        tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
+        max_iters=max_iters, ftol=ftol, gtol=gtol, interpret=interpret)
     x2 = _from_tiles(params2, capacity)
     st2 = _from_tiles(stats2, capacity)
 
@@ -257,39 +479,55 @@ def _fit_fused_impl(signal, *, te, lo, hi, phase1_iters, max_iters, ftol,
 
 
 def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
+              guess: Sequence[float] | None = None,
               phase1_iters: int = 16, max_iters: int = 60, ftol: float = 1e-9,
-              tail_frac: float = 0.125, interpret: bool | None = None) -> FitResult:
+              gtol: float = 0.0, tail_frac: float = 0.125,
+              interpret: bool | None = None) -> FitResult:
     """Two-phase fused-kernel fit of every voxel in the batch.
 
     Args:
         signal: (N, T) float32 voxel signals.
         te: (T,) echo times (ms) — static per protocol.
-        lo, hi: scalar per-parameter bounds (len-2 sequences for gaussian).
-        model: only 'gaussian' has a fused kernel today; other models raise
-            (callers fall back to models.solver.fit_batch).
+        lo, hi: scalar per-parameter bounds (length 2 for gaussian, 3 for
+            gaussian_rician / rician).
+        model: 'gaussian' | 'gaussian_rician' | 'rician'. The 3-parameter
+            models run a 3-start in-kernel multistart (log-linear, T2
+            grid-scan, protocol ``guess``) because their objectives are
+            non-convex — mirroring models.t2map's host multistart.
+        guess: protocol initial parameters for the multistart's third start
+            (FitConfig.initial_guess); defaults to the bound midpoint.
         phase1_iters: lock-step budget for the full batch.
         max_iters: total budget for the compacted unconverged tail.
+        gtol: projected-gradient stopping threshold (0 = disabled).
         tail_frac: tail buffer capacity as a fraction of N.
         interpret: force Pallas interpreter mode (default: auto — interpret
             on CPU backends so tests run without a TPU).
 
     Returns:
-        FitResult with (N, 2) parameters; identical semantics to fit_batch.
+        FitResult with (N, P) parameters; identical semantics to fit_batch.
     """
-    if model != "gaussian":
-        raise NotImplementedError(
-            f"fused kernel supports 'gaussian' (got {model!r}); "
-            "use models.solver.fit_batch")
+    if model not in N_PARAMS:
+        raise ValueError(f"unknown model {model!r}")
+    p = N_PARAMS[model]
+    if len(lo) != p or len(hi) != p:
+        raise ValueError(f"{model} needs {p} bounds, got {len(lo)}/{len(hi)}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     te_t = tuple(float(x) for x in te)
     lo_t = tuple(float(x) for x in lo)
     hi_t = tuple(float(x) for x in hi)
+    if model == "rician":
+        # the likelihood divides by sigma^2: keep the lower bound off zero
+        lo_t = lo_t[:2] + (max(lo_t[2], 1e-2),)
+    if guess is None:
+        guess_t = tuple((l + h) / 2.0 for l, h in zip(lo_t, hi_t))
+    else:
+        guess_t = tuple(float(x) for x in guess)
     signal = jnp.asarray(signal, jnp.float32)
     result = _fit_fused_impl(
-        signal, te=te_t, lo=lo_t, hi=hi_t, phase1_iters=phase1_iters,
-        max_iters=max_iters, ftol=ftol, tail_frac=tail_frac,
-        interpret=bool(interpret))
+        signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
+        phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
+        tail_frac=tail_frac, interpret=bool(interpret))
     # Drain the pipeline with a scalar host read before returning: on a
     # tunneled chip, transferring from a still-in-flight pallas result can
     # stall the transport for minutes (observed), while a 4-byte scalar sync

@@ -84,7 +84,17 @@ def fit_stack(
     x0 = _init_for(cfg, batch, te, lo, hi)
 
     t0 = time.time()
-    if cfg.n_params == 3 and cfg.loglinear_init:
+    use_fused = (cfg.prior and cfg.loglinear_init
+                 and jax.default_backend() != "cpu")
+    if use_fused:
+        # uniform scalar bounds: the fused Pallas kernel path (in-kernel
+        # 3-start multistart for the non-convex 3-param models)
+        result = fit_fused(
+            batch, te, cfg.lower, cfg.upper, model=cfg.model,
+            guess=cfg.initial_guess, max_iters=cfg.max_iters,
+            ftol=cfg.ftol, gtol=cfg.gtol,
+        )
+    elif cfg.n_params == 3 and cfg.loglinear_init:
         # non-convex 3-param objectives: multistart from the log-linear
         # estimate, the T2 grid-scan basin, and the protocol initial guess;
         # keep the best minimum per voxel
@@ -95,13 +105,6 @@ def fit_stack(
         result = fit_batch_multistart(
             batch, te, x0s, lo, hi,
             model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
-        )
-    elif (cfg.model == "gaussian" and cfg.prior and cfg.loglinear_init
-          and jax.default_backend() != "cpu"):
-        # uniform scalar bounds + gaussian: the fused Pallas kernel path
-        result = fit_fused(
-            batch, te, cfg.lower, cfg.upper,
-            max_iters=cfg.max_iters, ftol=cfg.ftol,
         )
     else:
         result = fit_batch_twophase(

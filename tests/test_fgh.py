@@ -1,0 +1,100 @@
+"""Hand-fused (f, g, H) algebra vs autodiff of the reference objectives.
+
+models.fgh is the single source of truth for the fused Pallas kernels'
+inner loops; any algebra slip there silently corrupts every fit. Each
+function is checked against jax.grad/jax.hessian of models.signal's
+objectives (which are themselves test-anchored to the reference formulas)
+at random interior points, in float64-free fp32 tolerances.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.scipy.special import i0e as jax_i0e
+
+from fetal_t2mapping_tpu.models import fgh
+from fetal_t2mapping_tpu.models.signal import make_objective
+
+TES = (114.0, 202.0, 299.0)
+
+
+def _rand_points(model, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    if model == "rician":
+        # keep the Bessel argument x = m*s/sigma^2 moderate (~1..100): that is
+        # the low-SNR regime where the Rician likelihood matters physically,
+        # and where R' = 1 - R/x - R^2 is fp32-representable. At x >> 100 the
+        # cancellation noise differs between any two fp32 evaluation orders
+        # (ours vs autodiff's), so exact comparison is meaningless there.
+        k = rng.uniform(50.0, 300.0, n).astype(np.float32)
+        sg = rng.uniform(10.0, 40.0, n).astype(np.float32)
+        noise = 5.0
+    else:
+        k = rng.uniform(500.0, 6000.0, n).astype(np.float32)
+        sg = rng.uniform(5.0, 80.0, n).astype(np.float32)
+        noise = 10.0
+    t2 = rng.uniform(30.0, 800.0, n).astype(np.float32)
+    true_t2 = rng.uniform(50.0, 400.0, n).astype(np.float32)
+    te = np.asarray(TES, np.float32)
+    s = np.maximum(k[:, None] * np.exp(-te[None, :] / true_t2[:, None])
+                   + rng.normal(0, noise, (n, 3)).astype(np.float32), 0.5)
+    n_params = fgh.N_PARAMS[model]
+    params = (k, t2) if n_params == 2 else (k, t2, sg)
+    return params, s.astype(np.float32)
+
+
+def test_i0e_matches_jax():
+    x = np.concatenate([np.linspace(0, 3.74, 200), np.linspace(3.75, 500, 200),
+                        [1e4, 1e6]]).astype(np.float32)
+    ours = np.asarray(fgh.i0e(jnp.asarray(x)))
+    ref = np.asarray(jax_i0e(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_bessel_ratio_limits():
+    # R(x) ~ x/2 for small x, -> 1 for large x, monotone in between
+    x = jnp.asarray([1e-6, 1e-3, 0.1, 1.0, 10.0, 100.0, 1e5], jnp.float32)
+    r = np.asarray(fgh.bessel_ratio(x))
+    np.testing.assert_allclose(r[:2], np.asarray(x[:2]) / 2, rtol=1e-3)
+    assert r[-1] > 0.999
+    assert np.all(np.diff(r) > 0)
+
+
+@pytest.mark.parametrize("model", ["gaussian", "gaussian_rician", "rician"])
+def test_fgh_matches_autodiff(model):
+    n_params = fgh.N_PARAMS[model]
+    params, s = _rand_points(model, seed=hash(model) % 2**31)
+    obj = make_objective(model)
+    te = jnp.asarray(TES, jnp.float32)
+
+    def per_voxel(p, sv):
+        return obj(p, te, sv)
+
+    f_ref = jax.vmap(per_voxel)(jnp.stack(params, -1), jnp.asarray(s))
+    g_ref = jax.vmap(jax.grad(per_voxel), in_axes=(0, 0))(jnp.stack(params, -1), jnp.asarray(s))
+    h_ref = jax.vmap(jax.hessian(per_voxel), in_axes=(0, 0))(jnp.stack(params, -1), jnp.asarray(s))
+
+    s_list = [jnp.asarray(s[:, i]) for i in range(s.shape[1])]
+    f, g, h = fgh.FGH[model](tuple(jnp.asarray(p) for p in params), s_list, TES)
+    v = fgh.VALUE[model](tuple(jnp.asarray(p) for p in params), s_list, TES)
+
+    scale_f = np.maximum(np.abs(np.asarray(f_ref)), 1.0)
+    np.testing.assert_allclose(np.asarray(f) / scale_f, np.asarray(f_ref) / scale_f,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(f), rtol=1e-5, atol=1e-5)
+    for i in range(n_params):
+        den = np.maximum(np.abs(np.asarray(g_ref[:, i])), 1e-3)
+        np.testing.assert_allclose(np.asarray(g[i]) / den, np.asarray(g_ref[:, i]) / den,
+                                   atol=5e-3, err_msg=f"grad[{i}]")
+    for i in range(n_params):
+        for j in range(n_params):
+            ref_ij = np.asarray(h_ref[:, i, j])
+            # fp32 noise through the Bessel polys makes near-zero entries
+            # relatively loud; floor the denominator at 1% of the component's
+            # dynamic range (the damped-Newton solver is insensitive to this)
+            den = np.maximum(np.abs(ref_ij),
+                             np.maximum(1e-2 * np.abs(ref_ij).max(), 1e-3))
+            np.testing.assert_allclose(
+                np.asarray(h[i][j]) / den, ref_ij / den,
+                atol=3e-2, err_msg=f"hess[{i}][{j}]")

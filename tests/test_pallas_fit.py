@@ -65,8 +65,93 @@ def test_fused_result_shapes_and_padding():
 
 def test_fused_rejects_unknown_model():
     sig, _, _ = _synthetic(64)
-    with pytest.raises(NotImplementedError):
-        fit_fused(sig, TES, (0.0, 10.0, 0.0), (1e6, 2000.0, 1e4), model="rician")
+    with pytest.raises(ValueError):
+        fit_fused(sig, TES, (0.0, 10.0), (1e6, 2000.0), model="laplacian")
+    with pytest.raises(ValueError):
+        # bound arity must match the model's parameter count
+        fit_fused(sig, TES, (0.0, 10.0), (1e6, 2000.0), model="rician")
+
+
+def test_fused_gaussian_rician_matches_multistart():
+    from fetal_t2mapping_tpu.models.init import grid_init
+    from fetal_t2mapping_tpu.models.solver import fit_batch_multistart
+
+    rng = np.random.default_rng(11)
+    n = 256
+    te = np.asarray(TES, np.float32)
+    k = rng.uniform(600.0, 3000.0, n).astype(np.float32)
+    t2 = rng.uniform(40.0, 400.0, n).astype(np.float32)
+    sg_true = 30.0
+    a = k[:, None] * np.exp(-te[None, :] / t2[:, None])
+    sig = np.sqrt(a * a + sg_true ** 2).astype(np.float32)
+
+    lo = (0.0, 10.0, 1.0)
+    hi = (1e5, 2000.0, 500.0)
+    guess = (800.0, 110.0, 40.0)
+    r_f = fit_fused(sig, TES, lo, hi, model="gaussian_rician", guess=guess,
+                    phase1_iters=20, max_iters=40)
+
+    te_j = jnp.asarray(te)
+    x0_ll = loglinear_init(sig, te_j, lo, hi)
+    x0_gr = np.asarray(grid_init(sig, te_j, lo, hi))
+    x0_cfg = np.clip(np.tile(np.asarray(guess, np.float32), (n, 1)), lo, hi)
+    x0s = np.stack([np.asarray(x0_ll), x0_gr, x0_cfg])
+    r_j = fit_batch_multistart(sig, te_j, x0s, lo, hi,
+                               model="gaussian_rician", max_iters=40)
+
+    xf, xj = np.asarray(r_f.x), np.asarray(r_j.x)
+    ok = np.asarray(r_f.converged) & np.asarray(r_j.converged)
+    assert ok.mean() > 0.9
+    # noiseless gaussian_rician: T2 recoverable to fp32-fit tolerance
+    rel_t2 = np.abs(xf[ok, 1] - t2[ok]) / t2[ok]
+    assert np.median(rel_t2) < 1e-2
+    rel_vs_jax = np.abs(xf[ok, 1] - xj[ok, 1]) / np.maximum(xj[ok, 1], 1e-6)
+    assert np.median(rel_vs_jax) < 1e-2
+
+
+def test_fused_rician_matches_scipy_oracle():
+    """Parity of the fused Rician-ML kernel with scipy L-BFGS-B on the SAME
+    negative log-likelihood (the reference's solver, run_t2mapping.py:157-177).
+
+    Truth-recovery is NOT asserted tightly: at low SNR the per-voxel ML
+    estimator is itself biased (both solvers show it identically). What the
+    kernel owes is (a) per-voxel agreement with scipy where both converge to
+    the same basin and (b) an equal-or-lower objective elsewhere (the
+    in-kernel multistart should never lose to a single-start L-BFGS-B)."""
+    from fetal_t2mapping_tpu.config import FitConfig
+    from fetal_t2mapping_tpu.models import fgh
+    from fetal_t2mapping_tpu.models.oracle import fit_batch_scipy
+
+    rng = np.random.default_rng(4)
+    n = 96
+    tes5 = (50.0, 114.0, 202.0, 299.0, 400.0)
+    te = np.asarray(tes5, np.float32)
+    k_true, t2_true, sg_true = 200.0, 90.0, 25.0
+    a = k_true * np.exp(-te[None, :] / t2_true)
+    noise = rng.normal(0, sg_true, (n, len(tes5), 2))
+    # magnitude of (true + complex gaussian noise): Rician by construction
+    sig = np.sqrt((a + noise[..., 0]) ** 2 + noise[..., 1] ** 2).astype(np.float32)
+
+    lo = (1.0, 10.0, 1.0)
+    hi = (1e4, 2000.0, 500.0)
+    guess = (100.0, 100.0, 20.0)
+    r = fit_fused(sig, tes5, lo, hi, model="rician", guess=guess,
+                  phase1_iters=20, max_iters=40)
+    x = np.asarray(r.x)
+    cfg = FitConfig(model="rician", initial_guess=guess, lower=lo, upper=hi)
+    xs = fit_batch_scipy(sig.astype(np.float64), te.astype(np.float64), cfg)
+
+    rel = np.abs(x[:, 1] - xs[:, 1]) / np.maximum(xs[:, 1], 1e-6)
+    assert np.median(rel) < 1e-3, np.median(rel)
+
+    s_list = [jnp.asarray(sig[:, i]) for i in range(len(tes5))]
+    f_fused = np.asarray(fgh.rician_value(
+        tuple(jnp.asarray(c) for c in (x[:, 0], x[:, 1], x[:, 2])), s_list, tes5))
+    f_scipy = np.asarray(fgh.rician_value(
+        tuple(jnp.asarray(xs[:, i].astype(np.float32)) for i in range(3)),
+        s_list, tes5))
+    # multistart should win or tie on the vast majority of voxels
+    assert np.mean(f_fused <= f_scipy + 1e-3) > 0.8
 
 
 def test_twophase_on_device_matches_single_phase():
