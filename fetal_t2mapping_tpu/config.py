@@ -26,6 +26,7 @@ JHU_DIRNAME = "recon_1mm_jhu"
 HO_DIRNAME = "recon_1mm_ho"
 MNI_DIRNAME = "recon_1mm_mni152"
 PHANTOM_LABELS_DIRNAME = "recon_1mm_label"
+N4_DIRNAME = RESAMP_DIRNAME + "_n4"
 T2MAP_DIRNAME = RECON_DIRNAME + "_t2map"
 
 # --------------------------------------------------------------------------

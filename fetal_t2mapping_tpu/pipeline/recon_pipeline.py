@@ -86,6 +86,39 @@ def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
             log.info("recon saved: %s", out_path)
 
 
+def run_biasfield_correction(metadata: pd.DataFrame, bids_path: str, *,
+                             shared: bool = False, overwrite: bool = False,
+                             **n4_kwargs) -> None:
+    """Optional N4 bias correction of the resampled volumes (reference
+    utils/qmri_utils.py:254-357). ``shared=False`` corrects each acquisition
+    independently; ``shared=True`` pools the log-bias across echo times per
+    (sub, ses, orientation) — the coil bias is TE-independent."""
+    from ..recon.biasfield import n4_bias_correction, shared_log_bias
+
+    if not shared:
+        for _, acq in metadata.iterrows():
+            out_path = get_img_path(bids_path, acq, C.N4_DIRNAME)
+            if os.path.exists(out_path) and not overwrite:
+                continue
+            vol = nifti.read(get_img_path(bids_path, acq, C.RESAMP_DIRNAME))
+            res = n4_bias_correction(vol, **n4_kwargs)
+            nifti.write(out_path, res.corrected, dtype=np.float32)
+            log.info("n4: %s", out_path)
+        return
+    group_keys = ["prj", "sub", "ses", "ImageOrientationPatientSTR"]
+    for _, md in metadata.groupby(group_keys):
+        acqs = list(md.iterrows())
+        out_paths = [get_img_path(bids_path, a, C.N4_DIRNAME) for _, a in acqs]
+        if all(os.path.exists(p) for p in out_paths) and not overwrite:
+            continue
+        vols = [nifti.read(get_img_path(bids_path, a, C.RESAMP_DIRNAME))
+                for _, a in acqs]
+        corrected, _ = shared_log_bias(vols, **n4_kwargs)
+        for out_path, vol in zip(out_paths, corrected):
+            nifti.write(out_path, vol, dtype=np.float32)
+            log.info("n4 (shared): %s", out_path)
+
+
 def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
                                registration_kwargs: Optional[dict] = None) -> None:
     """Step 3bis: register 1.5 T recons to the 0.55 T ses-01 te-114 recon

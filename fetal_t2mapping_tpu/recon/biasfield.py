@@ -1,0 +1,207 @@
+"""N4-style bias field correction, fully on-device (JAX).
+
+TPU-native replacement for the reference's SimpleITK
+``N4BiasFieldCorrectionImageFilter`` calls (reference utils/qmri_utils.py:
+254-357 — two variants: per-acquisition correction and a shared log-bias
+field across echo times). Unused in the reference's main recon path but part
+of its public surface, so re-implemented here.
+
+Algorithm (N4ITK, Tustison et al. 2010, re-derived for XLA):
+1. v = log(image) over the (foreground) mask.
+2. Iterate:
+   a. Sharpen the intensity histogram of the current corrected image by
+      Wiener deconvolution of a Gaussian bias kernel (FWHM in log space),
+      then form the conditional expectation E[u|v] per bin — all on a
+      1-D histogram via real FFTs (tiny, stays on device).
+   b. The per-voxel residual bias estimate is v - E[u|v](v); fit a smooth
+      field to it with masked separable Gaussian smoothing (the B-spline
+      mesh of N4ITK approximated by a Nadaraya-Watson smoother whose sigma
+      plays the control-point-spacing role — same low-pass intent, one
+      fused conv pipeline instead of scatter/gather spline algebra).
+   c. Accumulate into the total log-bias field and subtract.
+3. Stop at n_iters (fixed, jit-friendly) — N4's CV-based stop is a host
+   decision; callers can inspect ``field_cv`` per iteration instead.
+
+The corrected image is exp(v - bias_total); the returned field is
+exp(bias_total) (multiplicative bias, image = true * field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.volume import Volume
+
+_SQRT8LN2 = 2.3548200450309493  # FWHM = sigma * sqrt(8 ln 2)
+
+
+def _gauss_smooth3d(x, sigma_vox: Tuple[float, float, float]):
+    """Separable Gaussian smoothing along the three spatial axes."""
+    for axis, sg in enumerate(sigma_vox):
+        if sg <= 0:
+            continue
+        radius = max(1, int(3.0 * sg + 0.5))
+        t = np.arange(-radius, radius + 1, dtype=np.float32)
+        k = np.exp(-0.5 * (t / sg) ** 2)
+        k = jnp.asarray(k / k.sum())
+        xm = jnp.moveaxis(x, axis, -1)
+        shape = xm.shape
+        flat = xm.reshape(-1, 1, shape[-1])
+        out = lax.conv_general_dilated(
+            flat, k.reshape(1, 1, -1), window_strides=(1,),
+            padding=[(radius, radius)], dimension_numbers=("NCH", "OIH", "NCH"))
+        x = jnp.moveaxis(out.reshape(shape), -1, axis)
+    return x
+
+
+def _smooth_field(residual, mask_f, sigma_vox):
+    """Masked smooth-field fit: smooth(residual*mask)/smooth(mask)."""
+    num = _gauss_smooth3d(residual * mask_f, sigma_vox)
+    den = _gauss_smooth3d(mask_f, sigma_vox)
+    return num / jnp.maximum(den, 1e-6)
+
+
+def _sharpen_update(v, mask_f, n_bins: int, fwhm: float, wiener_eps: float):
+    """One histogram-sharpening pass: per-voxel residual bias v - E[u|v]."""
+    vmin = jnp.min(jnp.where(mask_f > 0, v, jnp.inf))
+    vmax = jnp.max(jnp.where(mask_f > 0, v, -jnp.inf))
+    span = jnp.maximum(vmax - vmin, 1e-6)
+    scale = (n_bins - 1) / span
+
+    # soft (linear-interpolated) histogram of masked voxels
+    pos = (v - vmin) * scale
+    i0 = jnp.clip(jnp.floor(pos), 0, n_bins - 1).astype(jnp.int32)
+    w1 = jnp.clip(pos - i0.astype(v.dtype), 0.0, 1.0)
+    i1 = jnp.clip(i0 + 1, 0, n_bins - 1)
+    flat_m = mask_f.reshape(-1)
+    hist = (jnp.zeros(n_bins, v.dtype)
+            .at[i0.reshape(-1)].add(flat_m * (1.0 - w1.reshape(-1)))
+            .at[i1.reshape(-1)].add(flat_m * w1.reshape(-1)))
+
+    # Wiener-deconvolve the Gaussian bias kernel from the histogram
+    sigma_bins = (fwhm / _SQRT8LN2) * scale
+    n_pad = 2 * n_bins                               # linear (non-circular) conv
+    freqs = jnp.fft.rfftfreq(n_pad)
+    # FT of a unit-area Gaussian with std sigma_bins (in bins)
+    Fk = jnp.exp(-2.0 * (jnp.pi * freqs * sigma_bins) ** 2)
+    Hv = jnp.fft.rfft(hist, n_pad)
+    Hu = jnp.fft.irfft(Hv * Fk / (Fk * Fk + wiener_eps), n_pad)[:n_bins]
+    Hu = jnp.maximum(Hu, 0.0)
+
+    # E[u|v] = conv(u*p_u, F) / conv(p_u, F) evaluated at each bin
+    centers = vmin + jnp.arange(n_bins, dtype=v.dtype) / scale
+    Fu = jnp.fft.rfft(Hu, n_pad)
+    Fuu = jnp.fft.rfft(Hu * centers, n_pad)
+    Gk = jnp.fft.rfft(
+        jnp.roll(jnp.exp(-0.5 * (jnp.arange(n_pad) - n_pad // 2) ** 2
+                         / jnp.maximum(sigma_bins, 1e-3) ** 2), n_pad // 2 + n_pad % 2), n_pad)
+    den = jnp.fft.irfft(Fu * Gk, n_pad)[:n_bins]
+    num = jnp.fft.irfft(Fuu * Gk, n_pad)[:n_bins]
+    e_u = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    e_u = jnp.where(den > 1e-12, e_u, centers)       # empty bins: identity
+
+    # look up E[u|v] per voxel (linear interp over bins)
+    e_lo = e_u[i0]
+    e_hi = e_u[i1]
+    expected = e_lo * (1.0 - w1) + e_hi * w1
+    return (v - expected) * mask_f
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "n_bins", "fwhm",
+                                             "wiener_eps", "sigma_vox"))
+def _n4_impl(log_img, mask_f, *, n_iters, n_bins, fwhm, wiener_eps, sigma_vox):
+    def body(carry, _):
+        v, bias_total = carry
+        residual = _sharpen_update(v, mask_f, n_bins, fwhm, wiener_eps)
+        field = _smooth_field(residual, mask_f, sigma_vox)
+        v = v - field
+        bias_total = bias_total + field
+        cv = jnp.std(field) / jnp.maximum(jnp.abs(jnp.mean(field)), 1e-6)
+        return (v, bias_total), cv
+
+    (v, bias_total), cvs = lax.scan(
+        body, (log_img, jnp.zeros_like(log_img)), None, length=n_iters)
+    return v, bias_total, cvs
+
+
+@dataclasses.dataclass(frozen=True)
+class BiasFieldResult:
+    corrected: Volume
+    field: Volume          # multiplicative bias (image = true * field)
+    field_cv: np.ndarray   # per-iteration coefficient of variation of update
+
+
+def n4_bias_correction(
+    image: Volume,
+    mask: Optional[Volume] = None,
+    *,
+    n_iters: int = 40,
+    n_bins: int = 200,
+    fwhm: float = 0.15,
+    wiener_eps: float = 0.01,
+    ctrl_spacing_mm: float = 100.0,
+) -> BiasFieldResult:
+    """N4-style multiplicative bias correction of one volume.
+
+    Args:
+        image: intensity volume (non-positive voxels are treated as
+            background, as ITK's default foreground thresholding does).
+        mask: optional foreground mask; default = image > 0.
+        n_iters: fixed iteration count (one resolution level).
+        n_bins / fwhm / wiener_eps: histogram-sharpening knobs (N4 defaults).
+        ctrl_spacing_mm: smoothing scale in mm — plays the role of N4's
+            B-spline control-point spacing.
+    """
+    data = jnp.asarray(np.asarray(image.data, np.float32))
+    if mask is not None:
+        mask_f = jnp.asarray(np.asarray(mask.data) > 0, jnp.float32)
+    else:
+        mask_f = (data > 0).astype(jnp.float32)
+    safe = jnp.maximum(data, 1e-6)
+    log_img = jnp.log(safe) * mask_f
+
+    sigma_vox = tuple(float(ctrl_spacing_mm) / max(s, 1e-3) / _SQRT8LN2
+                      for s in image.spacing[::-1])   # data is (z, y, x)
+    v, bias_total, cvs = _n4_impl(
+        log_img, mask_f, n_iters=n_iters, n_bins=n_bins, fwhm=fwhm,
+        wiener_eps=wiener_eps, sigma_vox=sigma_vox)
+
+    field = np.asarray(jnp.exp(bias_total))
+    corrected = np.asarray(jnp.where(mask_f > 0, jnp.exp(v), data))
+    return BiasFieldResult(
+        corrected=image.with_data(corrected),
+        field=image.with_data(field),
+        field_cv=np.asarray(cvs),
+    )
+
+
+def shared_log_bias(images, masks=None, **kwargs):
+    """Shared-bias variant: estimate one field per image, average the log
+    fields, and correct every image with the shared field (the reference's
+    ``run_biasfield_correction2`` behaviour, utils/qmri_utils.py:296-357 —
+    the receive-coil bias is TE-independent, so pooling echoes stabilizes
+    the estimate).
+
+    Returns (corrected_list, shared_field Volume).
+    """
+    if masks is None:
+        masks = [None] * len(images)
+    logs = []
+    for img, msk in zip(images, masks):
+        res = n4_bias_correction(img, msk, **kwargs)
+        logs.append(np.log(np.maximum(np.asarray(res.field.data), 1e-6)))
+    shared = np.exp(np.mean(logs, axis=0)).astype(np.float32)
+    ref = images[0]
+    out = []
+    for img in images:
+        data = np.asarray(img.data, np.float32)
+        corrected = np.where(shared > 1e-6, data / shared, data)
+        out.append(img.with_data(corrected.astype(np.float32)))
+    return out, ref.with_data(shared)
