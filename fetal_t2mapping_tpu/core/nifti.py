@@ -123,10 +123,36 @@ def _itk_to_affine_ras(vol: Volume) -> np.ndarray:
 
 # --------------------------------------------------------------------------
 def read(path: str) -> Volume:
-    """Read a .nii or .nii.gz file into a Volume (data indexed (z,y,x))."""
-    with _open(path, "rb") as f:
-        raw = f.read()
+    """Read a .nii or .nii.gz file into a Volume (data indexed (z,y,x)).
 
+    Decompression goes through the native IO runtime (ft2io, threaded zlib)
+    when it is available, with the pure-Python gzip path as fallback."""
+    from .. import native
+
+    raw = native.read_file(path) if native.available() else None
+    if raw is None:
+        with _open(path, "rb") as f:
+            raw = f.read()
+    return parse(raw, name=str(path))
+
+
+def read_batch(paths, n_threads: int = 8):
+    """Read many NIfTI files in parallel (native thread pool when available).
+
+    The echo-stack load (one volume per TE, reference run_t2mapping.py:
+    365-381 reads them serially through SimpleITK) is the host-side hot
+    path; inflating all members concurrently hides the zlib cost."""
+    from .. import native
+
+    raws = native.read_batch(paths, n_threads) if native.available() else None
+    if raws is None:
+        return [read(p) for p in paths]
+    return [parse(raw, name=str(p)) for raw, p in zip(raws, paths)]
+
+
+def parse(raw: bytes, name: str = "<bytes>") -> Volume:
+    """Decode an in-memory NIfTI-1 byte string into a Volume."""
+    path = name
     sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
     endian = "<"
     if sizeof_hdr != _HDR_SIZE:
@@ -225,7 +251,13 @@ def write(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> None:
     struct.pack_into("<12f", hdr, 280, *aff[:3, :4].reshape(-1))
     hdr[344:348] = _MAGIC_N1
 
+    payload = bytes(hdr) + b"\x00" * 4 + np.ascontiguousarray(data).tobytes()
+
+    from .. import native
+
+    if native.available():
+        is_gz = str(path).endswith(".gz")
+        native.write_file(path, payload, gzip_level=6 if is_gz else None)
+        return
     with _open(path, "wb") as f:
-        f.write(bytes(hdr))
-        f.write(b"\x00" * 4)  # extension flag
-        f.write(np.ascontiguousarray(data).tobytes())
+        f.write(payload)

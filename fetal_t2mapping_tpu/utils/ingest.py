@@ -45,13 +45,22 @@ def get_orientation_dcm(img_orientation) -> str:
 
 
 def get_dcm_files(directory: str) -> List[str]:
-    out = []
+    """Walk a session directory and keep Part-10 DICOM files.
+
+    Uses the native threaded magic probe (132-byte reads) when available —
+    the reference validates candidates by fully parsing each file with
+    pydicom (utils/dcm_utils.py:54-65), which reads gigabytes on big
+    sessions; the probe touches a few hundred KB."""
+    from .. import native
+
+    candidates = []
     for root, _, files in os.walk(directory):
-        for f in files:
-            p = os.path.join(root, f)
-            if is_dcm_file(p):
-                out.append(p)
-    return out
+        for f in sorted(files):
+            candidates.append(os.path.join(root, f))
+    flags = native.dicom_probe(candidates) if native.available() else None
+    if flags is None:
+        return [p for p in candidates if is_dcm_file(p)]
+    return [p for p, flag in zip(candidates, flags) if flag == 1]
 
 
 def build_dcm_entry(dcm_path: str, structured: bool = False) -> Dict:
