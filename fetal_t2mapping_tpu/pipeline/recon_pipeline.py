@@ -289,16 +289,26 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
                  seeds_key: str = C.DEFAULT_PHANTOM_SEEDS_KEY,
                  registration_kwargs: Optional[dict] = None) -> None:
     """Full stage-2 pipeline (reference run_qmri_reconstruction.py:5-92)."""
+    from ..utils.profiling import profiler
+
     if in_vivo:
-        run_resample_volumes(metadata, bids_path, 1.0)
-        run_reconstruct_volumes(metadata, bids_path, denoise=True, fixed_type="ax",
-                                registration_kwargs=registration_kwargs)
+        with profiler.stage("recon.resample"):
+            run_resample_volumes(metadata, bids_path, 1.0)
+        with profiler.stage("recon.fuse"):
+            run_reconstruct_volumes(metadata, bids_path, denoise=True, fixed_type="ax",
+                                    registration_kwargs=registration_kwargs)
         if not low_field:
-            register_high_to_low_field(metadata, bids_path,
-                                       registration_kwargs=registration_kwargs)
-        run_segmentation(metadata, bids_path, synthseg)
-        run_masks_and_bet(metadata, bids_path)
-        run_feta_labels(metadata, bids_path)
-        run_atlas_labels(metadata, bids_path, low_field=low_field)
+            with profiler.stage("recon.hf_to_lf"):
+                register_high_to_low_field(metadata, bids_path,
+                                           registration_kwargs=registration_kwargs)
+        with profiler.stage("recon.synthseg"):
+            run_segmentation(metadata, bids_path, synthseg)
+        with profiler.stage("recon.masks_bet"):
+            run_masks_and_bet(metadata, bids_path)
+        with profiler.stage("recon.feta"):
+            run_feta_labels(metadata, bids_path)
+        with profiler.stage("recon.atlas"):
+            run_atlas_labels(metadata, bids_path, low_field=low_field)
     else:
-        build_phantom_labels(metadata, bids_path, C.PHANTOM_SEEDS[seeds_key])
+        with profiler.stage("recon.phantom_labels"):
+            build_phantom_labels(metadata, bids_path, C.PHANTOM_SEEDS[seeds_key])

@@ -22,6 +22,7 @@ from ..core.stack import EchoStack
 from ..models.t2map import fit_stack
 from ..utils.bids import get_img_path, mk_bids_dir
 from ..utils.maps_io import save_nifti_maps, save_phantom_csv
+from ..utils.profiling import profiler
 
 log = logging.getLogger("fetal_t2mapping_tpu.t2map")
 
@@ -57,14 +58,19 @@ def process_t2maps(
     for prj, prj_md in metadata.groupby("prj"):
         ada_path = set_ada_path(bids_path, prj)
         for (sub, ses), sub_md in prj_md.groupby(["sub", "ses"]):
-            recons, masks, te_found = [], [], []
             label_vol = None
             acq = None
+            te_found, recon_paths, mask_paths = [], [], []
             for echotime, te_md in sub_md.groupby("EchoTime"):
                 acq = te_md.iloc[0]
                 te_found.append(round(echotime * 1000))
-                recons.append(nifti.read(get_img_path(bids_path, acq, C.RECON_DIRNAME).replace(" ", "")))
-                masks.append(nifti.read(get_img_path(bids_path, acq, C.MASK_DIRNAME).replace(" ", "")))
+                recon_paths.append(get_img_path(bids_path, acq, C.RECON_DIRNAME).replace(" ", ""))
+                mask_paths.append(get_img_path(bids_path, acq, C.MASK_DIRNAME).replace(" ", ""))
+            with profiler.stage("t2map.load", items=2 * len(recon_paths)):
+                # the whole echo stack inflates in parallel (native thread pool)
+                loaded = nifti.read_batch(recon_paths + mask_paths)
+            recons = loaded[: len(recon_paths)]
+            masks = loaded[len(recon_paths):]
 
             if sorted(te_found) != sorted(tes):
                 log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
@@ -87,11 +93,13 @@ def process_t2maps(
             log.info("T2 mapping %s_%s_%s: grid %s, %d voxels, TEs %s, model %s",
                      prj, sub, ses, stack.grid_shape, int(stack.mask.sum()),
                      te_found, cfg.model)
-            out = fit_stack(stack, cfg)
+            with profiler.stage("t2map.fit", items=int(stack.mask.sum())):
+                out = fit_stack(stack, cfg)
             log.info("fit done in %.3f s (%.0f voxels/s)", out.fit_seconds,
                      out.n_voxels / max(out.fit_seconds, 1e-9))
 
-            map_paths = save_nifti_maps(out, bids_path, acq, C.T2MAP_DIRNAME, sim, cfg.model)
+            with profiler.stage("t2map.save"):
+                map_paths = save_nifti_maps(out, bids_path, acq, C.T2MAP_DIRNAME, sim, cfg.model)
 
             if make_plots:
                 m = stack.mask
