@@ -52,13 +52,21 @@ _XTOL_REL = 1e-6
 
 def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
                        hi: Tuple[float, float], max_iters: int, ftol: float,
+                       no_prior: bool,
                        sig_ref, params_ref, stats_ref):
-    """One (T, BR, 128) block: init + full Newton loop for the gaussian model."""
+    """One (T, BR, 128) block: init + full Newton loop for the gaussian model.
+
+    no_prior=True reproduces the reference's per-voxel bound rule
+    (run_t2mapping.py:243-245): k's lower bound is the voxel's own signal at
+    the shortest TE — a per-voxel quantity, but free here because the signal
+    tile is already in VMEM."""
     T = len(te)
     inv_t = 1.0 / T
     s = [sig_ref[t] for t in range(T)]
     lo_k, lo_t2 = lo
     hi_k, hi_t2 = hi
+    if no_prior:
+        lo_k = jnp.maximum(s[0], lo_k)   # echoes are TE-sorted; s[0] = min TE
 
     # ---- log-linear init (models.init.loglinear_init, weights s^2) ----
     y = [jnp.log(jnp.maximum(st, 1e-6)) for st in s]
@@ -87,7 +95,7 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
     e0 = model_at(k, t2)
     f = sse(e0)
 
-    tol_k = 1e-8 * max(hi_k - lo_k, 1.0)
+    tol_k = 1e-8 * jnp.maximum(hi_k - lo_k, 1.0)   # tile when no_prior
     tol_t = 1e-8 * max(hi_t2 - lo_t2, 1.0)
 
     def body(carry):
@@ -381,13 +389,16 @@ def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("te", "lo", "hi", "max_iters", "ftol", "interpret"))
-def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol, interpret=False):
+                   static_argnames=("te", "lo", "hi", "max_iters", "ftol",
+                                    "no_prior", "interpret"))
+def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol,
+                     no_prior=False, interpret=False):
     """Run the fused kernel over (T, R, 128) tiles -> ((2,R,128), (3,R,128))."""
     T, R, _ = sig_tiles.shape
     br = min(_BR, R)
     grid = (pl.cdiv(R, br),)
-    kernel = functools.partial(_gauss_kernel_body, te, lo, hi, max_iters, ftol)
+    kernel = functools.partial(_gauss_kernel_body, te, lo, hi, max_iters, ftol,
+                               no_prior)
     params, stats = pl.pallas_call(
         kernel,
         grid=grid,
@@ -427,11 +438,11 @@ def _from_tiles(arr: jax.Array, n: int) -> jax.Array:
 
 
 def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
-               interpret):
+               no_prior, interpret):
     if model == "gaussian":
         return _gauss_fit_tiles(tiles, te=te, lo=lo, hi=hi,
                                 max_iters=max_iters, ftol=ftol,
-                                interpret=interpret)
+                                no_prior=no_prior, interpret=interpret)
     return _fit3_tiles(tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
                        max_iters=max_iters, ftol=ftol, gtol=gtol,
                        interpret=interpret)
@@ -439,14 +450,15 @@ def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
-    "gtol", "tail_frac", "interpret"))
+    "gtol", "tail_frac", "no_prior", "interpret"))
 def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
-                    max_iters, ftol, gtol, tail_frac, interpret):
+                    max_iters, ftol, gtol, tail_frac, no_prior, interpret):
     n = signal.shape[0]
     tiles, n_pad = _to_tiles(signal, n)
     params1, stats1 = _run_tiles(
         tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
-        max_iters=phase1_iters, ftol=ftol, gtol=gtol, interpret=interpret)
+        max_iters=phase1_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
+        interpret=interpret)
 
     x1 = _from_tiles(params1, n)                       # (N, P)
     fun1 = _from_tiles(stats1, n)                      # (N, 3): f, conv, nit
@@ -463,7 +475,8 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     tiles2, _ = _to_tiles(sig_tail, capacity)
     params2, stats2 = _run_tiles(
         tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
-        max_iters=max_iters, ftol=ftol, gtol=gtol, interpret=interpret)
+        max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
+        interpret=interpret)
     x2 = _from_tiles(params2, capacity)
     st2 = _from_tiles(stats2, capacity)
 
@@ -482,6 +495,7 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               guess: Sequence[float] | None = None,
               phase1_iters: int = 16, max_iters: int = 60, ftol: float = 1e-9,
               gtol: float = 0.0, tail_frac: float = 0.125,
+              no_prior: bool = False,
               interpret: bool | None = None) -> FitResult:
     """Two-phase fused-kernel fit of every voxel in the batch.
 
@@ -500,6 +514,9 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
         max_iters: total budget for the compacted unconverged tail.
         gtol: projected-gradient stopping threshold (0 = disabled).
         tail_frac: tail buffer capacity as a fraction of N.
+        no_prior: gaussian only — per-voxel k lower bound = the voxel's
+            signal at the shortest TE (reference run_t2mapping.py:243-245);
+            pass the scalar no-prior box in lo/hi (k upper 10000, T2 10..2000).
         interpret: force Pallas interpreter mode (default: auto — interpret
             on CPU backends so tests run without a TPU).
 
@@ -511,6 +528,8 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
     p = N_PARAMS[model]
     if len(lo) != p or len(hi) != p:
         raise ValueError(f"{model} needs {p} bounds, got {len(lo)}/{len(hi)}")
+    if no_prior and model != "gaussian":
+        raise ValueError("no_prior bounds are defined for the gaussian model only")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     te_t = tuple(float(x) for x in te)
@@ -527,7 +546,7 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
     result = _fit_fused_impl(
         signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
-        tail_frac=tail_frac, interpret=bool(interpret))
+        tail_frac=tail_frac, no_prior=no_prior, interpret=bool(interpret))
     # Drain the pipeline with a scalar host read before returning: on a
     # tunneled chip, transferring from a still-in-flight pallas result can
     # stall the transport for minutes (observed), while a 4-byte scalar sync

@@ -84,15 +84,21 @@ def fit_stack(
     x0 = _init_for(cfg, batch, te, lo, hi)
 
     t0 = time.time()
-    use_fused = (cfg.prior and cfg.loglinear_init
-                 and jax.default_backend() != "cpu")
+    use_fused = (cfg.loglinear_init and jax.default_backend() != "cpu"
+                 and (cfg.prior or cfg.model == "gaussian"))
     if use_fused:
-        # uniform scalar bounds: the fused Pallas kernel path (in-kernel
-        # 3-start multistart for the non-convex 3-param models)
+        # the fused Pallas kernel path (in-kernel 3-start multistart for the
+        # non-convex 3-param models; in-kernel per-voxel no-prior k bound)
+        if cfg.prior:
+            lo_f, hi_f, np_flag = cfg.lower, cfg.upper, False
+        else:
+            lo_f = (0.0, NO_PRIOR_T2_BOUNDS[0])
+            hi_f = (NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS[1])
+            np_flag = True
         result = fit_fused(
-            batch, te, cfg.lower, cfg.upper, model=cfg.model,
+            batch, te, lo_f, hi_f, model=cfg.model,
             guess=cfg.initial_guess, max_iters=cfg.max_iters,
-            ftol=cfg.ftol, gtol=cfg.gtol,
+            ftol=cfg.ftol, gtol=cfg.gtol, no_prior=np_flag,
         )
     elif cfg.n_params == 3 and cfg.loglinear_init:
         # non-convex 3-param objectives: multistart from the log-linear

@@ -64,3 +64,45 @@ def fit_batch_sharded(signal, te, x0, lo, hi, mesh: Mesh, **fit_kwargs):
     te = jax.device_put(np.asarray(te, np.float32),
                         NamedSharding(mesh, P()))  # replicated
     return fit_batch(signal, te, x0, lo, hi, **fit_kwargs)
+
+
+def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian",
+                      guess=None, phase1_iters: int = 16, max_iters: int = 60,
+                      ftol: float = 1e-9, gtol: float = 0.0,
+                      tail_frac: float = 0.125, no_prior: bool = False,
+                      interpret=None):
+    """Multi-chip fused-kernel fit: shard_map of the whole two-phase pipeline.
+
+    The fit is voxel-elementwise and the straggler compaction is done
+    PER SHARD, so the entire solve — Pallas kernels, tail partition, refit,
+    merge — runs with ZERO inter-chip communication; XLA inserts collectives
+    only for whatever cross-shard reduction the caller computes afterwards.
+    The leading axis must be divisible by the mesh size (pad_to_devices).
+    """
+    import functools
+
+    from ..models.pallas_fit import _fit_fused_impl
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = np.shape(signal)[0]
+    if n % mesh.devices.size:
+        raise ValueError(f"voxel count {n} not divisible by mesh size {mesh.devices.size}")
+    lo_t = tuple(float(x) for x in lo)
+    hi_t = tuple(float(x) for x in hi)
+    if guess is None:
+        guess = tuple((l + h) / 2.0 for l, h in zip(lo_t, hi_t))
+    fn = functools.partial(
+        _fit_fused_impl, model=model, te=tuple(float(x) for x in te),
+        lo=lo_t, hi=hi_t, guess=tuple(float(x) for x in guess),
+        phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
+        tail_frac=tail_frac, no_prior=no_prior, interpret=bool(interpret))
+
+    from ..models.solver import FitResult
+
+    out_specs = FitResult(x=P(VOXEL_AXIS, None), fun=P(VOXEL_AXIS),
+                          converged=P(VOXEL_AXIS), n_iter=P(VOXEL_AXIS))
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=(P(VOXEL_AXIS, None),),
+                            out_specs=out_specs, check_vma=False)
+    signal = shard_voxels(np.asarray(signal, np.float32), mesh)
+    return sharded(signal)

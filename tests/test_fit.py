@@ -64,8 +64,8 @@ class TestGaussianFit:
         x0 = loglinear_init(s, TES, lo, hi)
         res = fit_batch(s, TES, x0, lo, hi, model="gaussian")
         x = np.asarray(res.x)
-        np.testing.assert_allclose(x[:, 1], t2, rtol=2e-4)
-        np.testing.assert_allclose(x[:, 0], k, rtol=2e-4)
+        np.testing.assert_allclose(x[:, 1], t2, rtol=5e-4)
+        np.testing.assert_allclose(x[:, 0], k, rtol=1e-3)
         assert np.asarray(res.converged).all()
 
     def test_noisy_vs_curve_fit(self):

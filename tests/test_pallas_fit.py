@@ -154,6 +154,42 @@ def test_fused_rician_matches_scipy_oracle():
     assert np.mean(f_fused <= f_scipy + 1e-3) > 0.8
 
 
+def test_fused_no_prior_bounds():
+    # no_prior: per-voxel k lower bound = signal at min TE, k<=10000, T2 in
+    # (10, 2000) — reference run_t2mapping.py:243-245
+    sig, k, t2 = _synthetic(256, noise=0.0, seed=9)
+    r = fit_fused(sig, TES, (0.0, 10.0), (10000.0, 2000.0), no_prior=True)
+    x = np.asarray(r.x)
+    assert np.all(x[:, 0] >= sig[:, 0] - 1e-3)      # per-voxel bound honoured
+    assert np.all(x[:, 0] <= 10000.0 + 1e-3)
+    ok = k < 9000  # voxels whose true k fits inside the no-prior box
+    np.testing.assert_allclose(x[ok, 1], t2[ok], rtol=5e-3)
+    with pytest.raises(ValueError):
+        fit_fused(sig, TES, (0.0, 10.0, 1.0), (1e4, 2000.0, 500.0),
+                  model="rician", no_prior=True)
+
+
+def test_fused_sharded_multichip_cpu_mesh():
+    import jax
+
+    from fetal_t2mapping_tpu.parallel.mesh import (
+        fit_fused_sharded, pad_to_devices, voxel_mesh,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = voxel_mesh()
+    n = pad_to_devices(1000, mesh)
+    sig, k, t2 = _synthetic(n, noise=0.0, seed=2)
+    r = fit_fused_sharded(sig, TES, LO, HI, mesh, phase1_iters=10, max_iters=30)
+    x = np.asarray(r.x)
+    assert x.shape == (n, 2)
+    np.testing.assert_allclose(x[:, 1], t2, rtol=5e-3)
+    # parity with the single-device path
+    r1 = fit_fused(sig, TES, LO, HI, phase1_iters=10, max_iters=30)
+    np.testing.assert_allclose(x, np.asarray(r1.x), rtol=1e-5, atol=1e-3)
+
+
 def test_twophase_on_device_matches_single_phase():
     sig, _, _ = _synthetic(1024, noise=6.0, seed=3)
     te = jnp.asarray(TES, jnp.float32)
