@@ -461,8 +461,11 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         interpret=interpret)
 
     x1 = _from_tiles(params1, n)                       # (N, P)
-    fun1 = _from_tiles(stats1, n)                      # (N, 3): f, conv, nit
-    conv1 = fun1[:, 1] > 0.5
+    # stats stay in tile-flat layout: reshape is free (tile order == voxel
+    # order up to the T-axis transpose, which stats don't have)
+    st1 = stats1.reshape(3, -1)
+    fun1_v, conv1_v, nit1_v = st1[0, :n], st1[1, :n], st1[2, :n]
+    conv1 = conv1_v > 0.5
 
     capacity = max(_LANE, int(n_pad * tail_frac) // _LANE * _LANE)
     tail_idx, n_tail = _tail_partition(conv1, capacity)
@@ -478,15 +481,15 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
         interpret=interpret)
     x2 = _from_tiles(params2, capacity)
-    st2 = _from_tiles(stats2, capacity)
+    st2 = stats2.reshape(3, -1)
 
     valid = jnp.arange(capacity) < n_tail
     safe_idx = jnp.where(valid, tail_idx, n)           # n = out of range -> drop
     x = x1.at[safe_idx].set(x2, mode="drop")
-    fun = fun1[:, 0].at[safe_idx].set(st2[:, 0], mode="drop")
-    conv = conv1.at[safe_idx].set(st2[:, 1] > 0.5, mode="drop")
-    nit = fun1[:, 2].astype(jnp.int32).at[safe_idx].set(
-        st2[:, 2].astype(jnp.int32), mode="drop")
+    fun = fun1_v.at[safe_idx].set(st2[0, :capacity], mode="drop")
+    conv = conv1.at[safe_idx].set(st2[1, :capacity] > 0.5, mode="drop")
+    nit = nit1_v.astype(jnp.int32).at[safe_idx].set(
+        st2[2, :capacity].astype(jnp.int32), mode="drop")
     # voxels beyond capacity (n_tail > capacity) keep phase-1 results, conv=False
     return FitResult(x=x, fun=fun, converged=conv, n_iter=nit)
 
@@ -494,7 +497,7 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
 def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               guess: Sequence[float] | None = None,
               phase1_iters: int = 16, max_iters: int = 60, ftol: float = 1e-9,
-              gtol: float = 0.0, tail_frac: float = 0.125,
+              gtol: float = 0.0, tail_frac: float = 0.0625,
               no_prior: bool = False,
               interpret: bool | None = None) -> FitResult:
     """Two-phase fused-kernel fit of every voxel in the batch.

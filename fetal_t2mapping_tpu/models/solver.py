@@ -224,7 +224,7 @@ def _tail_partition(conv, capacity: int):
 def fit_batch_twophase(signal, te, x0, lo, hi, *, model: str,
                        phase1_iters: int = 12, max_iters: int = 60,
                        ftol: float = 1e-9, gtol: float = 0.0,
-                       tail_frac: float = 0.125) -> FitResult:
+                       tail_frac: float = 0.0625) -> FitResult:
     """Two-phase fit: short lock-step pass, then compact the stragglers.
 
     In one lock-step batch, the slowest ~1% of voxels make ALL voxels pay
