@@ -156,35 +156,43 @@ def _derivative_files(bids_path, prj, sub, ses, dirname):
     return sorted(glob.glob(os.path.join(d, "*.nii.gz")))
 
 
-def run_masks_and_bet(metadata: pd.DataFrame, bids_path: str) -> None:
+def run_masks_and_bet(metadata: pd.DataFrame, bids_path: str,
+                      overwrite: bool = False) -> None:
     """Steps 5 + 5bis: masks from labels; brain extraction (reference :935-974)."""
     for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
         mask_dir = mk_bids_dir(bids_path, prj, "derivatives", C.MASK_DIRNAME, sub, ses, "anat")
         bet_dir = mk_bids_dir(bids_path, prj, "derivatives", C.BET_DIRNAME, sub, ses, "anat")
         for lbl_path in _derivative_files(bids_path, prj, sub, ses, C.SYNTHSEG_DIRNAME):
+            out = os.path.join(
+                mask_dir, os.path.basename(lbl_path).replace("synthseg", "mask"))
+            if os.path.exists(out) and not overwrite:
+                continue
             mask = mask_from_labels(nifti.read(lbl_path))
-            nifti.write(os.path.join(
-                mask_dir, os.path.basename(lbl_path).replace("synthseg", "mask")),
-                mask, dtype=np.uint8)
+            nifti.write(out, mask, dtype=np.uint8)
         recon_paths = _derivative_files(bids_path, prj, sub, ses, C.RECON_DIRNAME)
         mask_paths = _derivative_files(bids_path, prj, sub, ses, C.MASK_DIRNAME)
         for recon_path, mask_path in zip(recon_paths, mask_paths):
-            bet = extract_brain(nifti.read(recon_path), nifti.read(mask_path))
-            nifti.write(os.path.join(
+            out = os.path.join(
                 bet_dir, os.path.basename(recon_path).replace(
-                    C.RECON_DIRNAME + ".nii", C.BET_DIRNAME + ".nii")),
-                bet, dtype=np.float32)
+                    C.RECON_DIRNAME + ".nii", C.BET_DIRNAME + ".nii"))
+            if os.path.exists(out) and not overwrite:
+                continue
+            bet = extract_brain(nifti.read(recon_path), nifti.read(mask_path))
+            nifti.write(out, bet, dtype=np.float32)
 
 
-def run_feta_labels(metadata: pd.DataFrame, bids_path: str) -> None:
+def run_feta_labels(metadata: pd.DataFrame, bids_path: str,
+                    overwrite: bool = False) -> None:
     """Step 6: SynthSeg -> FeTA remap (reference :976-1009)."""
     for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
         out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.FETA_DIRNAME, sub, ses, "anat")
         for lbl_path in _derivative_files(bids_path, prj, sub, ses, C.SYNTHSEG_DIRNAME):
+            out = os.path.join(
+                out_dir, os.path.basename(lbl_path).replace("synthseg", "feta"))
+            if os.path.exists(out) and not overwrite:
+                continue
             feta = synthseg_to_feta(nifti.read(lbl_path))
-            nifti.write(os.path.join(
-                out_dir, os.path.basename(lbl_path).replace("synthseg", "feta")),
-                feta, dtype=np.int16)
+            nifti.write(out, feta, dtype=np.int16)
 
 
 def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
@@ -276,10 +284,12 @@ def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
         input_dir = os.path.join(bids_path, prj, "derivatives", C.RECON_DIRNAME, sub, ses, "anat")
         out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.PHANTOM_LABELS_DIRNAME, sub, ses, "anat")
         for img_path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
-            geom = nifti.read(img_path)
-            labels = phantom_labels_from_seeds(geom, seeds, radius=radius)
             out_path = os.path.join(out_dir, os.path.basename(img_path).replace(
                 C.RECON_DIRNAME, C.PHANTOM_LABELS_DIRNAME))
+            if os.path.exists(out_path):
+                continue
+            geom = nifti.read(img_path)
+            labels = phantom_labels_from_seeds(geom, seeds, radius=radius)
             nifti.write(out_path, labels, dtype=np.uint8)
             log.info("phantom labels: %s", out_path)
 
