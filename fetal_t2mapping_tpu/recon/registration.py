@@ -102,27 +102,51 @@ def _smooth_subsample(data, sigma: float, factor: int):
     return x
 
 
-def _pyramid_level(vol: Volume, factor: int, sigma: float) -> Volume:
-    if factor == 1 and sigma <= 0:
-        return vol
-    data = np.asarray(_smooth_subsample(np.asarray(vol.data, np.float32), sigma, factor))
-    return Volume(
-        data=data,
-        spacing=tuple(s * factor for s in vol.spacing),
-        origin=vol.origin,  # voxel (0,0,0) center moves < spacing/2; negligible for metric
-        direction=vol.direction,
-    )
+def _device_pyramid(vol: Volume, levels: Sequence[int], sigmas: Sequence[float]):
+    """All pyramid levels as DEVICE arrays from a single host->device upload.
+
+    Host<->device ping-pong per level is ruinous on a tunneled chip (observed:
+    ~5 MB/s link; re-uploading a 192^3 volume per level dominated the whole
+    registration); the base volume crosses the link once and every level is
+    derived on device."""
+    base = jnp.asarray(vol.data, jnp.float32)  # no-op if already on device
+    out = []
+    for factor, sigma in zip(levels, sigmas):
+        data = base if (factor == 1 and sigma <= 0) else _smooth_subsample(
+            base, sigma, factor)
+        # voxel (0,0,0) center moves < spacing/2 under subsampling; negligible
+        out.append((data, tuple(s * factor for s in vol.spacing)))
+    return out
 
 
 # ------------------------------------------------------------------ metric
-def _make_metric(fixed: Volume, moving: Volume, kind: str, transform_fn):
-    """Build metric(params) -> scalar on the fixed grid at one pyramid level."""
-    fixed_pts = jnp.asarray(fixed.world_grid().reshape(-1, 3), jnp.float32)
-    fixed_vals = jnp.asarray(fixed.data, jnp.float32).reshape(-1)
-    Mi = np.linalg.inv(moving.direction_matrix @ np.diag(moving.spacing))
+def _make_metric(fixed_vol: Volume, fixed_data, fixed_spacing,
+                 moving_vol: Volume, moving_data, moving_spacing,
+                 kind: str, transform_fn, max_points: int = 1 << 16):
+    """Build metric(params) -> scalar on one pyramid level (device arrays).
+
+    The fixed grid is stride-subsampled to at most ~max_points samples:
+    gathers are the expensive op on TPU, and a rigid/affine metric saturates
+    long before dense sampling (Elastix defaults to a few THOUSAND random
+    samples; 2^16 strided samples is still ~20x denser)."""
+    shape = tuple(int(s) for s in fixed_data.shape)
+    npts = int(np.prod(shape))
+    stride = 1
+    if npts > max_points:
+        stride = int(np.ceil((npts / max_points) ** (1.0 / 3.0)))
+    # strided voxel-index grid -> world coordinates (small, built on host)
+    idx = np.stack(np.meshgrid(
+        *[np.arange(0, s, stride, dtype=np.float32) for s in shape],
+        indexing="ij"), axis=-1)                     # (gz, gy, gx, 3) in (z,y,x)
+    A = fixed_vol.direction_matrix @ np.diag(fixed_spacing)   # world from (x,y,z)
+    world = idx[..., ::-1] @ A.T + np.asarray(fixed_vol.origin)
+    fixed_pts = jnp.asarray(world.reshape(-1, 3), jnp.float32)
+    fixed_vals = fixed_data[::stride, ::stride, ::stride].reshape(-1)
+
+    Mi = np.linalg.inv(moving_vol.direction_matrix @ np.diag(moving_spacing))
     m_inv = jnp.asarray(Mi.T, jnp.float32)
-    m_origin = jnp.asarray(moving.origin, jnp.float32)
-    m_data = jnp.asarray(moving.data, jnp.float32)
+    m_origin = jnp.asarray(moving_vol.origin, jnp.float32)
+    m_data = moving_data
     nz, ny, nx = m_data.shape
 
     def metric(params):
@@ -206,14 +230,14 @@ def register_rigid(
     params = jnp.zeros(6, jnp.float32) if init_params is None else jnp.asarray(init_params, jnp.float32)
     history = []
     f_last = np.nan
-    for factor, sigma, n_it in zip(levels, sigmas, iters):
-        f_lvl = _pyramid_level(fixed, factor, sigma)
-        m_lvl = _pyramid_level(moving, factor, sigma)
+    f_pyr = _device_pyramid(fixed, levels, sigmas)
+    m_pyr = _device_pyramid(moving, levels, sigmas)
+    for (f_dat, f_sp), (m_dat, m_sp), n_it in zip(f_pyr, m_pyr, iters):
         tf = lambda p: _rigid_matrix(p, jnp.asarray(center), scale)
-        mfn = _make_metric(f_lvl, m_lvl, metric, tf)
+        mfn = _make_metric(fixed, f_dat, f_sp, moving, m_dat, m_sp, metric, tf)
         params, fs = _adam_minimize(mfn, params, lr, n_it)
         history.append(np.asarray(fs))
-        f_last = float(np.asarray(fs)[-1])
+        f_last = float(history[-1][-1])
 
     R, offset = _rigid_matrix(np.asarray(params), center, scale)
     T = np.eye(4)
@@ -242,9 +266,9 @@ def register_affine(
     params = jnp.zeros(12, jnp.float32)
     history = []
     f_last = np.nan
-    for factor, sigma, n_it in zip(levels, sigmas, iters):
-        f_lvl = _pyramid_level(fixed, factor, sigma)
-        m_lvl = _pyramid_level(moving, factor, sigma)
+    f_pyr = _device_pyramid(fixed, levels, sigmas)
+    m_pyr = _device_pyramid(moving, levels, sigmas)
+    for (f_dat, f_sp), (m_dat, m_sp), n_it in zip(f_pyr, m_pyr, iters):
         # translations need mm-scale steps: scale them up inside the transform
         t_scale = 50.0
 
@@ -252,10 +276,10 @@ def register_affine(
             q = jnp.concatenate([p[:9], p[9:] * t_scale])
             return _affine_matrix(q, jnp.asarray(center))
 
-        mfn = _make_metric(f_lvl, m_lvl, metric, tf)
+        mfn = _make_metric(fixed, f_dat, f_sp, moving, m_dat, m_sp, metric, tf)
         params, fs = _adam_minimize(mfn, params, lr, n_it)
         history.append(np.asarray(fs))
-        f_last = float(np.asarray(fs)[-1])
+        f_last = float(history[-1][-1])
 
     q = np.concatenate([np.asarray(params)[:9], np.asarray(params)[9:] * 50.0])
     M, offset = _affine_matrix(jnp.asarray(q), jnp.asarray(center))
