@@ -9,8 +9,10 @@ nearest) gather over the target grid's world points, fully direction-aware
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,21 +64,45 @@ def resample_volume(vol: Volume, new_spacing: Sequence[float] = (1.0, 1.0, 1.0),
     return resample_to_reference(vol, target, method=method, cval=cval)
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "method", "cval"))
+def _affine_gather(data, B_T, c, *, shape, method, cval):
+    """Sample ``data`` at continuous (x,y,z) indices B @ idx_ref + c for every
+    voxel of a (nz, ny, nx) target grid — the index grid is generated ON
+    DEVICE (broadcasted_iota), so nothing but the source volume and the tiny
+    affine crosses the host link."""
+    nz, ny, nx = shape
+    iz = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    iy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    ix = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    idx_xyz = jnp.stack([ix, iy, iz], axis=-1).reshape(-1, 3)
+    coords_zyx = (idx_xyz @ B_T + c)[..., ::-1]
+    sampler = sample_trilinear if method == "linear" else sample_nearest
+    return sampler(data, coords_zyx, cval=cval).reshape(shape)
+
+
 def resample_to_reference(vol: Volume, ref: Volume, *, transform: Optional[np.ndarray] = None,
                           method: str = "linear", cval: float = 0.0) -> Volume:
     """Resample ``vol`` onto the grid of ``ref``.
+
+    One fused affine-index gather: the target's voxel indices map straight to
+    continuous source indices through a single 3x3 matrix
+    (inv(M_src) @ T @ M_ref), composed on host, applied on device.
 
     Args:
         transform: optional 4x4 world->world matrix mapping reference-space
             points into ``vol``'s space (a registration result). Identity if
             None.
     """
-    pts = _index_grid_world(ref)
-    if transform is not None:
-        T = np.asarray(transform, np.float64)
-        pts = pts @ T[:3, :3].T + T[:3, 3]
-    vals = sample_volume_at_world(vol, pts, method=method, cval=cval)
-    data = np.asarray(vals, np.float32).reshape(ref.shape)
+    A_ref = ref.direction_matrix @ np.diag(ref.spacing)      # idx(x,y,z)->world
+    T = np.eye(4) if transform is None else np.asarray(transform, np.float64)
+    M_inv, origin = _world_to_index_matrix(vol)
+    B = M_inv @ T[:3, :3] @ A_ref
+    c = M_inv @ (T[:3, :3] @ np.asarray(ref.origin) + T[:3, 3] - origin)
+    vals = _affine_gather(
+        jnp.asarray(vol.data), jnp.asarray(B.T, jnp.float32),
+        jnp.asarray(c, jnp.float32), shape=tuple(int(s) for s in ref.shape),
+        method=method, cval=float(cval))
+    data = np.asarray(vals, np.float32)
     if method == "nearest":
         data = data.astype(np.asarray(vol.data).dtype)
     return Volume(data=data, spacing=ref.spacing, origin=ref.origin, direction=ref.direction)
