@@ -68,8 +68,10 @@ def main():
     med_rel = float(jnp.median(jnp.abs(res.x[:, 1] - t2_dev) / t2_dev))
     conv_rate = float(jnp.mean(res.converged.astype(jnp.float32)))
     if rel_cf.max() > 1e-3:
-        print(f"accuracy gate failed: max rel T2 err vs curve_fit {rel_cf.max():.2e}",
+        print(f"accuracy gate FAILED: max rel T2 err vs curve_fit {rel_cf.max():.2e} "
+              "> 1e-3; refusing to report a throughput number for wrong answers",
               file=sys.stderr)
+        raise SystemExit(1)
 
     times = []
     for _ in range(3):

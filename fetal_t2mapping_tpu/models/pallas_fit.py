@@ -50,6 +50,25 @@ _LAM_STALL = 1e6
 _XTOL_REL = 1e-6
 
 
+def _loglin_tiles(s, te):
+    """Weighted log-linear (k, t2) estimate on tiles (models.init.loglinear_init
+    algebra, shared by the 2- and 3-parameter kernel bodies). Unclipped."""
+    y = [jnp.log(jnp.maximum(st, 1e-6)) for st in s]
+    w = [jnp.square(jnp.maximum(st, 1e-6)) for st in s]
+    sw = sum(w)
+    st_ = sum(wt * t for wt, t in zip(w, te))
+    stt = sum(wt * t * t for wt, t in zip(w, te))
+    sy = sum(wt * yt for wt, yt in zip(w, y))
+    sty = sum(wt * t * yt for wt, t, yt in zip(w, te, y))
+    det = sw * stt - st_ * st_
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    b = (sw * sty - st_ * sy) / det
+    a = (sy - b * st_) / sw
+    t2 = jnp.where(b < -1e-12, -1.0 / b, 2000.0)
+    k = jnp.exp(jnp.clip(a, -30.0, 30.0))
+    return k, t2
+
+
 def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
                        hi: Tuple[float, float], max_iters: int, ftol: float,
                        no_prior: bool,
@@ -68,20 +87,7 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
     if no_prior:
         lo_k = jnp.maximum(s[0], lo_k)   # echoes are TE-sorted; s[0] = min TE
 
-    # ---- log-linear init (models.init.loglinear_init, weights s^2) ----
-    y = [jnp.log(jnp.maximum(st, 1e-6)) for st in s]
-    w = [jnp.square(jnp.maximum(st, 1e-6)) for st in s]
-    sw = sum(w)
-    st_ = sum(wt * t for wt, t in zip(w, te))
-    stt = sum(wt * t * t for wt, t in zip(w, te))
-    sy = sum(wt * yt for wt, yt in zip(w, y))
-    sty = sum(wt * t * yt for wt, t, yt in zip(w, te, y))
-    det = sw * stt - st_ * st_
-    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-    b = (sw * sty - st_ * sy) / det
-    a = (sy - b * st_) / sw
-    t2 = jnp.where(b < -1e-12, -1.0 / b, 2000.0)
-    k = jnp.exp(jnp.clip(a, -30.0, 30.0))
+    k, t2 = _loglin_tiles(s, te)
     k = jnp.clip(k, lo_k, hi_k)
     t2 = jnp.clip(t2, lo_t2, hi_t2)
 
@@ -267,19 +273,7 @@ def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
 def _loglin_start3(s, te, lo, hi):
     """Log-linear (k, t2) + RMS-residual sigma, as tiles."""
     T = len(te)
-    y = [jnp.log(jnp.maximum(st, 1e-6)) for st in s]
-    w = [jnp.square(jnp.maximum(st, 1e-6)) for st in s]
-    sw = sum(w)
-    st_ = sum(wt * t for wt, t in zip(w, te))
-    stt = sum(wt * t * t for wt, t in zip(w, te))
-    sy = sum(wt * yt for wt, yt in zip(w, y))
-    sty = sum(wt * t * yt for wt, t, yt in zip(w, te, y))
-    det = sw * stt - st_ * st_
-    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-    b = (sw * sty - st_ * sy) / det
-    a = (sy - b * st_) / sw
-    t2 = jnp.where(b < -1e-12, -1.0 / b, 2000.0)
-    k = jnp.exp(jnp.clip(a, -30.0, 30.0))
+    k, t2 = _loglin_tiles(s, te)
     u_inv = -1.0 / jnp.clip(t2, lo[1], hi[1])
     kc = jnp.clip(k, lo[0], hi[0])
     sse = sum(jnp.square(st - kc * jnp.exp(t * u_inv)) for st, t in zip(s, te)) / T

@@ -34,15 +34,19 @@ def _as_bool3d(x):
 
 
 def _box_pool(x_bool, radius: int, is_max: bool):
-    """Separable (2r+1)^3 max/min pooling."""
-    x = x_bool.astype(jnp.float32)
+    """Separable (2r+1)^3 max/min pooling, out-of-volume = BACKGROUND.
+
+    Explicit zero padding (scipy's border_value=0 convention) — "SAME"
+    padding would pad with the reduction identity, making min-pooling treat
+    out-of-volume as foreground and skip erosion at the borders."""
+    x = jnp.pad(x_bool.astype(jnp.float32), radius, constant_values=0.0)
     init = -jnp.inf if is_max else jnp.inf
     op = lax.max if is_max else lax.min
     k = 2 * radius + 1
     for axis in range(3):
         dims = [1, 1, 1]
         dims[axis] = k
-        x = lax.reduce_window(x, init, op, tuple(dims), (1, 1, 1), "SAME")
+        x = lax.reduce_window(x, init, op, tuple(dims), (1, 1, 1), "VALID")
     return x > 0.5
 
 
@@ -122,9 +126,14 @@ def fill_holes(mask):
     """Fill cavities not connected to the volume border (6-connectivity)."""
     m = _as_bool3d(mask)
     outside = ~m
-    # seed: border voxels that are background
+    # seed: border voxels that are background. Size-1 axes are excluded —
+    # a (z, y, 1) slab is a 2-D slice whose "faces" along that axis are the
+    # slab itself (seeding them would mark every cavity as outside and turn
+    # the fill into a no-op).
     seed = jnp.zeros_like(m)
     for axis in range(3):
+        if m.shape[axis] == 1:
+            continue
         seed = seed.at[_face(axis, 0)].set(True)
         seed = seed.at[_face(axis, -1)].set(True)
     seed = seed & outside

@@ -57,20 +57,24 @@ def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
     for (prj, sub, ses), ss_md in metadata.groupby(["prj", "sub", "ses"]):
         first_recon = None
         for echotime, te_md in ss_md.groupby("EchoTime"):
-            imgs: Dict[str, nifti.Volume] = {}
             acq = te_md.iloc[0]
-            for _, a in te_md.iterrows():
-                imgs[a["ImageOrientationPatientSTR"]] = nifti.read(
-                    get_img_path(bids_path, a, C.RESAMP_DIRNAME))
-            if len(imgs) != 3:
-                log.warning("TE %.0f ms of %s_%s has orientations %s; skipped",
-                            echotime * 1000, sub, ses, sorted(imgs))
-                continue
             out_path = get_img_path(bids_path, acq, C.RECON_DIRNAME)
+            # checkpoint test BEFORE loading: a resumed run must not inflate
+            # three HR volumes per TE just to skip them
             if os.path.exists(out_path) and not overwrite:
                 if first_recon is None:
                     first_recon = nifti.read(out_path)
                 continue
+            paths = {a["ImageOrientationPatientSTR"]:
+                     get_img_path(bids_path, a, C.RESAMP_DIRNAME)
+                     for _, a in te_md.iterrows()}
+            if len(paths) != 3:
+                log.warning("TE %.0f ms of %s_%s has orientations %s; skipped",
+                            echotime * 1000, sub, ses, sorted(paths))
+                continue
+            otypes = list(paths)
+            imgs: Dict[str, nifti.Volume] = dict(
+                zip(otypes, nifti.read_batch([paths[o] for o in otypes])))
             log.info("===== Fusion TE %3d ms (%s_%s) =====", int(echotime * 1000), sub, ses)
             recon = fuse_orientations(imgs, fixed_type,
                                       registration_kwargs=registration_kwargs)
@@ -125,7 +129,8 @@ def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
     (reference :1039-1051), with its per-subject exclusions."""
     for (prj, sub, ses, echotime), sub_md in metadata.groupby(["prj", "sub", "ses", "EchoTime"]):
         for _, acq in sub_md.iterrows():
-            if echotime == 299 and sub in ("sub-003", "sub-004"):
+            # metadata stores EchoTime in seconds; the exclusion list is in ms
+            if round(echotime * 1000) == 299 and sub in ("sub-003", "sub-004"):
                 continue
             moving_path = get_img_path(bids_path, acq, C.RECON_DIRNAME)
             fixed_path = re.sub(r"ses-\d{2}", "ses-01", moving_path)
@@ -276,6 +281,29 @@ def downsample_masks(metadata: pd.DataFrame, bids_path: str,
             nifti.write(out_path, low.with_data(m.astype(np.uint8)), dtype=np.uint8)
 
 
+def build_phantom_masks(metadata: pd.DataFrame, bids_path: str, *,
+                        threshold: float = 100.0) -> None:
+    """In-vitro: foreground masks from the recon volumes (reference
+    utils/qmri_utils.py:591-623 — threshold + fill holes + closing + dilate).
+    The t2map stage loads MASK_DIRNAME unconditionally, so the in-vitro
+    branch must produce it too."""
+    import glob
+
+    from ..labels.masks import phantom_mask
+
+    for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
+        input_dir = os.path.join(bids_path, prj, "derivatives", C.RECON_DIRNAME, sub, ses, "anat")
+        out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.MASK_DIRNAME, sub, ses, "anat")
+        for img_path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+            out_path = os.path.join(out_dir, os.path.basename(img_path).replace(
+                C.RECON_DIRNAME, C.MASK_DIRNAME))
+            if os.path.exists(out_path):
+                continue
+            mask = phantom_mask(nifti.read(img_path), threshold=threshold)
+            nifti.write(out_path, mask, dtype=np.uint8)
+            log.info("phantom mask: %s", out_path)
+
+
 def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
                          seeds: Sequence[Sequence[int]], radius: int = 6) -> None:
     """In-vitro: sphere labels from seed voxels (reference :868-933)."""
@@ -320,5 +348,7 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
         with profiler.stage("recon.atlas"):
             run_atlas_labels(metadata, bids_path, low_field=low_field)
     else:
+        with profiler.stage("recon.phantom_masks"):
+            build_phantom_masks(metadata, bids_path)
         with profiler.stage("recon.phantom_labels"):
             build_phantom_labels(metadata, bids_path, C.PHANTOM_SEEDS[seeds_key])

@@ -64,8 +64,8 @@ def process_t2maps(
             for echotime, te_md in sub_md.groupby("EchoTime"):
                 acq = te_md.iloc[0]
                 te_found.append(round(echotime * 1000))
-                recon_paths.append(get_img_path(bids_path, acq, C.RECON_DIRNAME).replace(" ", ""))
-                mask_paths.append(get_img_path(bids_path, acq, C.MASK_DIRNAME).replace(" ", ""))
+                recon_paths.append(get_img_path(bids_path, acq, C.RECON_DIRNAME))
+                mask_paths.append(get_img_path(bids_path, acq, C.MASK_DIRNAME))
             with profiler.stage("t2map.load", items=2 * len(recon_paths)):
                 # the whole echo stack inflates in parallel (native thread pool)
                 loaded = nifti.read_batch(recon_paths + mask_paths)
@@ -78,7 +78,7 @@ def process_t2maps(
                 continue
             if phantom:
                 label_vol = nifti.read(
-                    get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME).replace(" ", ""))
+                    get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME))
 
             stack = EchoStack.from_volumes(recons, masks, te_found)
             if phantom and fast:

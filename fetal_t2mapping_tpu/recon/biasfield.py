@@ -38,33 +38,15 @@ import numpy as np
 from jax import lax
 
 from ..core.volume import Volume
+from ..ops.filtering import gaussian_smooth3d
 
 _SQRT8LN2 = 2.3548200450309493  # FWHM = sigma * sqrt(8 ln 2)
 
 
-def _gauss_smooth3d(x, sigma_vox: Tuple[float, float, float]):
-    """Separable Gaussian smoothing along the three spatial axes."""
-    for axis, sg in enumerate(sigma_vox):
-        if sg <= 0:
-            continue
-        radius = max(1, int(3.0 * sg + 0.5))
-        t = np.arange(-radius, radius + 1, dtype=np.float32)
-        k = np.exp(-0.5 * (t / sg) ** 2)
-        k = jnp.asarray(k / k.sum())
-        xm = jnp.moveaxis(x, axis, -1)
-        shape = xm.shape
-        flat = xm.reshape(-1, 1, shape[-1])
-        out = lax.conv_general_dilated(
-            flat, k.reshape(1, 1, -1), window_strides=(1,),
-            padding=[(radius, radius)], dimension_numbers=("NCH", "OIH", "NCH"))
-        x = jnp.moveaxis(out.reshape(shape), -1, axis)
-    return x
-
-
 def _smooth_field(residual, mask_f, sigma_vox):
     """Masked smooth-field fit: smooth(residual*mask)/smooth(mask)."""
-    num = _gauss_smooth3d(residual * mask_f, sigma_vox)
-    den = _gauss_smooth3d(mask_f, sigma_vox)
+    num = gaussian_smooth3d(residual * mask_f, sigma_vox)
+    den = gaussian_smooth3d(mask_f, sigma_vox)
     return num / jnp.maximum(den, 1e-6)
 
 

@@ -36,6 +36,7 @@ import numpy as np
 from jax import lax
 
 from ..core.volume import Volume
+from ..ops.filtering import smooth_subsample
 from ..ops.interp import sample_trilinear
 from .resample import resample_to_reference
 
@@ -74,34 +75,6 @@ def _affine_matrix(params, center):
 
 
 # ----------------------------------------------------------------- pyramid
-def _gaussian_kernel1d(sigma: float):
-    if sigma <= 0:
-        return np.array([1.0], np.float32)
-    radius = max(1, int(3.0 * sigma + 0.5))
-    x = np.arange(-radius, radius + 1, dtype=np.float32)
-    k = np.exp(-0.5 * (x / sigma) ** 2)
-    return (k / k.sum()).astype(np.float32)
-
-
-@functools.partial(jax.jit, static_argnames=("sigma", "factor"))
-def _smooth_subsample(data, sigma: float, factor: int):
-    """Separable Gaussian smoothing + strided subsampling along all 3 axes."""
-    x = jnp.asarray(data, jnp.float32)
-    k = jnp.asarray(_gaussian_kernel1d(sigma))
-    r = (k.shape[0] - 1) // 2
-    for axis in range(3):
-        xm = jnp.moveaxis(x, axis, -1)
-        shape = xm.shape
-        flat = xm.reshape(-1, 1, shape[-1])
-        out = lax.conv_general_dilated(
-            flat, k.reshape(1, 1, -1), window_strides=(1,),
-            padding=[(r, r)], dimension_numbers=("NCH", "OIH", "NCH"))
-        x = jnp.moveaxis(out.reshape(shape), -1, axis)
-    if factor > 1:
-        x = x[::factor, ::factor, ::factor]
-    return x
-
-
 def _device_pyramid(vol: Volume, levels: Sequence[int], sigmas: Sequence[float]):
     """All pyramid levels as DEVICE arrays from a single host->device upload.
 
@@ -112,7 +85,7 @@ def _device_pyramid(vol: Volume, levels: Sequence[int], sigmas: Sequence[float])
     base = jnp.asarray(vol.data, jnp.float32)  # no-op if already on device
     out = []
     for factor, sigma in zip(levels, sigmas):
-        data = base if (factor == 1 and sigma <= 0) else _smooth_subsample(
+        data = base if (factor == 1 and sigma <= 0) else smooth_subsample(
             base, sigma, factor)
         # voxel (0,0,0) center moves < spacing/2 under subsampling; negligible
         out.append((data, tuple(s * factor for s in vol.spacing)))

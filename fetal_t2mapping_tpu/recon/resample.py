@@ -64,12 +64,14 @@ def resample_volume(vol: Volume, new_spacing: Sequence[float] = (1.0, 1.0, 1.0),
     return resample_to_reference(vol, target, method=method, cval=cval)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "method", "cval"))
-def _affine_gather(data, B_T, c, *, shape, method, cval):
+@functools.partial(jax.jit, static_argnames=("shape", "method"))
+def _affine_gather(data, B_T, c, cval, *, shape, method):
     """Sample ``data`` at continuous (x,y,z) indices B @ idx_ref + c for every
     voxel of a (nz, ny, nx) target grid — the index grid is generated ON
     DEVICE (broadcasted_iota), so nothing but the source volume and the tiny
-    affine crosses the host link."""
+    affine crosses the host link. ``cval`` is a traced operand: NaN (used by
+    fusion to mark out-of-FOV) as a static arg would never hit the jit cache
+    (NaN != NaN) and every warp would recompile."""
     nz, ny, nx = shape
     iz = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
     iy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
@@ -100,8 +102,8 @@ def resample_to_reference(vol: Volume, ref: Volume, *, transform: Optional[np.nd
     c = M_inv @ (T[:3, :3] @ np.asarray(ref.origin) + T[:3, 3] - origin)
     vals = _affine_gather(
         jnp.asarray(vol.data), jnp.asarray(B.T, jnp.float32),
-        jnp.asarray(c, jnp.float32), shape=tuple(int(s) for s in ref.shape),
-        method=method, cval=float(cval))
+        jnp.asarray(c, jnp.float32), jnp.float32(cval),
+        shape=tuple(int(s) for s in ref.shape), method=method)
     data = np.asarray(vals, np.float32)
     if method == "nearest":
         data = data.astype(np.asarray(vol.data).dtype)

@@ -43,9 +43,9 @@ def get_img_path(bids_path: str, acq: Mapping, dtype: str = "anat") -> str:
         img_dirs = [acq["prj"], "derivatives", dtype, sub, ses, "anat"]
         coil = acq["CoilString"] if "CoilString" in acq else None
         if coil == "Simulation":
-            flnm = f"{sub}_{ses}_t2-{int(acq['T2']):3}_te-{int(acq['EchoTime']):3}_{dtype}.nii.gz"
+            flnm = f"{sub}_{ses}_t2-{int(acq['T2'])}_te-{int(acq['EchoTime'])}_{dtype}.nii.gz"
         else:
-            flnm = f"{sub}_{ses}_te-{int(acq['EchoTime'] * 1000):3}_{dtype}.nii.gz"
+            flnm = f"{sub}_{ses}_te-{int(acq['EchoTime'] * 1000)}_{dtype}.nii.gz"
     else:
         img_dirs = [acq["prj"], "derivatives", dtype, sub, ses, "anat"]
         flnm = f"{sub}_{ses}_{acq['run']}_T2w_{dtype}.nii.gz"

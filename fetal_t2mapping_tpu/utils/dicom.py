@@ -186,10 +186,8 @@ def read_dcm(path: str) -> DicomDataset:
     buf = memoryview(data)
 
     # file meta group (always explicit VR LE); read group length to bound it
-    meta, _ = _parse_elements(buf, 132, min(len(data), 132 + 12), True, True)
     glen = struct.unpack_from("<I", buf, 132 + 8)[0]
     meta_end = 132 + 12 + glen
-    meta_all, _ = _parse_elements(buf, 132, meta_end, True, True)
     ts = None
     # transfer syntax UID tag (0002,0010)
     pos = 132

@@ -1,0 +1,47 @@
+"""Regressions for defects found in the round-1 code review."""
+
+import numpy as np
+from scipy import ndimage
+
+from fetal_t2mapping_tpu.ops.morphology import binary_erode, build_slice_mask, fill_holes
+from fetal_t2mapping_tpu.utils.bids import get_img_path
+
+
+def test_box_erosion_matches_scipy_at_borders():
+    # out-of-volume must be background: a solid cube erodes to its interior
+    m = np.ones((4, 4, 4), bool)
+    ours = np.asarray(binary_erode(m, 1, box=True))
+    ref = ndimage.binary_erosion(m, structure=np.ones((3, 3, 3)))
+    np.testing.assert_array_equal(ours, ref)
+    assert ours.sum() == 8  # only the 2x2x2 interior survives
+
+
+def test_fill_holes_on_single_slice_slab():
+    # a (z, y, 1) slab is a 2-D slice: its size-1 axis must not seed the
+    # outside flood or every cavity counts as outside and nothing fills
+    m = np.zeros((16, 16, 1), bool)
+    m[2:14, 2:14, 0] = True
+    m[5:9, 5:9, 0] = False           # cavity
+    filled = np.asarray(fill_holes(m))
+    assert filled[6, 6, 0]
+    ref = ndimage.binary_fill_holes(m[:, :, 0])
+    np.testing.assert_array_equal(filled[:, :, 0], ref)
+
+
+def test_build_slice_mask_fills_2d_holes():
+    # build_slice_mask iterates (z, y) planes along the LAST (x) axis
+    img = np.zeros((20, 20, 2), np.float32)
+    img[3:17, 3:17, :] = 100.0
+    img[8:12, 8:12, :] = 0.0         # interior cavity in each slice
+    mask = np.asarray(build_slice_mask(img, threshold=1.0))
+    assert mask[10, 10, 0]
+
+
+def test_te_filename_has_no_spaces():
+    acq = {"prj": "prj-003", "sub": "sub-001", "ses": "ses-01", "run": "run-80",
+           "EchoTime": 0.080, "ImageOrientationPatientSTR": "ax"}
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = get_img_path(d, acq, "recon_1mm")
+        assert " " not in p
+        assert "te-80_" in p
