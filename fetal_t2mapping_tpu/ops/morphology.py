@@ -34,16 +34,22 @@ def _as_bool3d(x):
 
 
 def _box_pool(x_bool, radius: int, is_max: bool):
-    """Separable (2r+1)^3 max/min pooling, out-of-volume = BACKGROUND.
+    """Separable (2r+1)^d max/min pooling, out-of-volume = BACKGROUND.
 
     Explicit zero padding (scipy's border_value=0 convention) — "SAME"
     padding would pad with the reduction identity, making min-pooling treat
-    out-of-volume as foreground and skip erosion at the borders."""
-    x = jnp.pad(x_bool.astype(jnp.float32), radius, constant_values=0.0)
+    out-of-volume as foreground and skip erosion at the borders. Size-1 axes
+    are excluded entirely: a (z, y, 1) slab is a 2-D slice, and pooling
+    across its singleton axis would erode everything to background."""
+    active = [x_bool.shape[a] > 1 for a in range(3)]
+    pad = [(radius, radius) if act else (0, 0) for act in active]
+    x = jnp.pad(x_bool.astype(jnp.float32), pad, constant_values=0.0)
     init = -jnp.inf if is_max else jnp.inf
     op = lax.max if is_max else lax.min
     k = 2 * radius + 1
     for axis in range(3):
+        if not active[axis]:
+            continue
         dims = [1, 1, 1]
         dims[axis] = k
         x = lax.reduce_window(x, init, op, tuple(dims), (1, 1, 1), "VALID")
