@@ -28,11 +28,23 @@ _TAG_NAMES = {
     (0x0018, 0x0081): "EchoTime",
     (0x0018, 0x0087): "MagneticFieldStrength",
     (0x0018, 0x1314): "FlipAngle",
+    (0x0018, 0x0088): "SpacingBetweenSlices",
+    (0x0020, 0x000E): "SeriesInstanceUID",
+    (0x0020, 0x0011): "SeriesNumber",
+    (0x0020, 0x0013): "InstanceNumber",
+    (0x0020, 0x0032): "ImagePositionPatient",
     (0x0020, 0x0037): "ImageOrientationPatient",
+    (0x0020, 0x9113): "PlanePositionSequence",
+    (0x0028, 0x0002): "SamplesPerPixel",
     (0x0028, 0x0008): "NumberOfFrames",
     (0x0028, 0x0010): "Rows",
     (0x0028, 0x0011): "Columns",
     (0x0028, 0x0030): "PixelSpacing",
+    (0x0028, 0x0100): "BitsAllocated",
+    (0x0028, 0x0103): "PixelRepresentation",
+    (0x0028, 0x1052): "RescaleIntercept",
+    (0x0028, 0x1053): "RescaleSlope",
+    (0x7FE0, 0x0010): "PixelData",
     (0x0028, 0x9110): "PixelMeasuresSequence",
     (0x5200, 0x9229): "SharedFunctionalGroupsSequence",
     (0x5200, 0x9230): "PerFrameFunctionalGroupsSequence",
@@ -43,7 +55,18 @@ _TAG_NAMES = {
 _NAME_TO_TAG = {v: k for k, v in _TAG_NAMES.items()}
 
 _EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
-_STOP_TAG = (0x7FE0, 0x0010)  # PixelData — never needed; stop there
+_STOP_TAG = (0x7FE0, 0x0010)  # PixelData — parsed only when pixels requested
+
+# VRs of binary tags under implicit-VR-little-endian (otherwise they would
+# decode as text garbage; only the tags the converter needs numerically)
+_IMPLICIT_VRS = {
+    (0x0028, 0x0002): b"US",
+    (0x0028, 0x0008): b"IS",
+    (0x0028, 0x0010): b"US",
+    (0x0028, 0x0011): b"US",
+    (0x0028, 0x0100): b"US",
+    (0x0028, 0x0103): b"US",
+}
 
 
 class InvalidDicomError(ValueError):
@@ -113,8 +136,6 @@ def _parse_elements(buf: memoryview, offset: int, end: int, explicit: bool,
         tag = (group, elem)
         if tag == (0xFFFE, 0xE00D) or tag == (0xFFFE, 0xE0DD):  # item/seq delimiter
             return out, pos + 8
-        if stop_at_pixeldata and tag == _STOP_TAG:
-            return out, end
         if explicit and group != 0xFFFE:
             vr = bytes(buf[pos + 4:pos + 6])
             if vr in _EXPLICIT_LONG_VRS:
@@ -124,10 +145,18 @@ def _parse_elements(buf: memoryview, offset: int, end: int, explicit: bool,
                 length = struct.unpack_from("<H", buf, pos + 6)[0]
                 hdr = 8
         else:
-            vr = b"UN"
+            vr = _IMPLICIT_VRS.get(tag, b"UN")
             length = struct.unpack_from("<I", buf, pos + 4)[0]
             hdr = 8
         body = pos + hdr
+        if tag == _STOP_TAG:
+            if stop_at_pixeldata:
+                return out, end
+            if length == 0xFFFFFFFF:
+                raise InvalidDicomError(
+                    "encapsulated (compressed) PixelData unsupported")
+            out[tag] = bytes(buf[body:body + length])
+            return out, body + length
 
         is_sq = vr == b"SQ" or (vr == b"UN" and length == 0xFFFFFFFF) or (
             not explicit and tag in _TAG_NAMES and _TAG_NAMES[tag].endswith("Sequence"))
@@ -170,12 +199,15 @@ def is_dcm_file(path: str) -> bool:
         return False
 
 
-def read_dcm(path: str) -> DicomDataset:
-    """Parse a Part-10 DICOM file's data elements (no pixel decoding)."""
+def read_dcm(path: str, with_pixels: bool = False) -> DicomDataset:
+    """Parse a Part-10 DICOM file's data elements.
+
+    with_pixels=True also captures the raw (uncompressed) PixelData bytes
+    under the 'PixelData' key — the DICOM->NIfTI converter's input."""
     try:
         import pydicom  # type: ignore
 
-        return pydicom.dcmread(path, stop_before_pixels=True)
+        return pydicom.dcmread(path, stop_before_pixels=not with_pixels)
     except ImportError:
         pass
 
@@ -207,5 +239,6 @@ def read_dcm(path: str) -> DicomDataset:
     explicit = ts != "1.2.840.10008.1.2"
     if ts is not None and ts.startswith("1.2.840.10008.1.2.2"):
         raise InvalidDicomError(f"{path}: big-endian transfer syntax unsupported")
-    elements, _ = _parse_elements(buf, meta_end, len(data), explicit, True)
+    elements, _ = _parse_elements(buf, meta_end, len(data), explicit,
+                                  not with_pixels)
     return DicomDataset(elements)

@@ -125,9 +125,13 @@ def dcm2niix_available() -> bool:
 
 
 def run_dcm2niix(df: pd.DataFrame, bids_dir: str) -> None:
-    """Convert each run to BIDS NIfTI + sidecar; skip already-converted."""
-    if not dcm2niix_available():
-        raise RuntimeError("dcm2niix binary not found on PATH; cannot ingest DICOMs")
+    """Convert each run to BIDS NIfTI + sidecar; skip already-converted.
+
+    Uses the external dcm2niix binary when present (the reference's
+    converter, utils/dcm_utils.py:259-312) and otherwise falls back to the
+    in-repo converter (utils.dcm2nifti) — the framework ingests standalone.
+    """
+    use_binary = dcm2niix_available()
     for (prj, sub, ses), g in df.groupby(["prj", "sub", "ses"]):
         anat = mk_bids_dir(bids_dir, prj, sub, ses, "anat")
         for _, entry in g.iterrows():
@@ -136,10 +140,15 @@ def run_dcm2niix(df: pd.DataFrame, bids_dir: str) -> None:
             if os.path.exists(nii):
                 print(f"{prj}_{sub}_{ses}_{entry['run']} already IN")
                 continue
-            subprocess.run(
-                ["dcm2niix", "-f", base, "-o", anat, "-s", "y", "-b", "y",
-                 "-ba", "y", "-z", "y", entry["path"]],
-                check=True, stdout=subprocess.DEVNULL)
+            if use_binary:
+                subprocess.run(
+                    ["dcm2niix", "-f", base, "-o", anat, "-s", "y", "-b", "y",
+                     "-ba", "y", "-z", "y", entry["path"]],
+                    check=True, stdout=subprocess.DEVNULL)
+            else:
+                from .dcm2nifti import convert_series
+
+                convert_series([entry["path"]], os.path.join(anat, base))
             enrich_sidecar(os.path.join(anat, base + ".json"), entry["path"])
             print(f"{prj}_{sub}_{ses}_{entry['run']} BIDSified")
 

@@ -1,0 +1,148 @@
+"""In-repo DICOM -> NIfTI converter: geometry, ordering, rescale, fallback.
+
+Test DICOM files are synthesized directly (explicit/implicit VR little
+endian) so no scanner data or external tools are needed.
+"""
+
+import os
+import struct
+
+import numpy as np
+
+from fetal_t2mapping_tpu.core import nifti
+from fetal_t2mapping_tpu.utils.dcm2nifti import convert_series, group_series, series_to_volume
+from fetal_t2mapping_tpu.utils.dicom import read_dcm
+
+_TS_EXPLICIT = "1.2.840.10008.1.2.1"
+_TS_IMPLICIT = "1.2.840.10008.1.2"
+
+
+def _el_explicit(group, elem, vr, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b"\x00"
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
+
+
+def _el_implicit(group, elem, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b"\x00"
+    return struct.pack("<HHI", group, elem, len(value)) + value
+
+
+def write_test_dicom(path, pixel: np.ndarray, *, ipp, iop=(1, 0, 0, 0, 1, 0),
+                     spacing=(1.5, 2.0), te=114.0, instance=1, series_uid="1.2.3.4",
+                     slope=None, intercept=None, explicit=True):
+    """Minimal single-frame Part-10 file (uncompressed little endian)."""
+    rows, cols = pixel.shape
+    ts = _TS_EXPLICIT if explicit else _TS_IMPLICIT
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", ts.encode())
+    meta = _el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+
+    def s(v):
+        return str(v).encode()
+
+    def ds_list(vals):
+        return "\\".join(f"{v:g}" for v in vals).encode()
+
+    el = _el_explicit if explicit else (lambda g, e, vr, v: _el_implicit(g, e, v))
+    body = b"".join([
+        el(0x0008, 0x0060, b"CS", b"MR"),
+        el(0x0008, 0x103E, b"LO", b"t2_haste_test"),
+        el(0x0018, 0x0050, b"DS", s(3.0)),
+        el(0x0018, 0x0081, b"DS", s(te)),
+        el(0x0020, 0x000E, b"UI", series_uid.encode()),
+        el(0x0020, 0x0013, b"IS", s(instance)),
+        el(0x0020, 0x0032, b"DS", ds_list(ipp)),
+        el(0x0020, 0x0037, b"DS", ds_list(iop)),
+        el(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        el(0x0028, 0x0030, b"DS", ds_list(spacing)),
+        el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+    ])
+    if slope is not None:
+        body += el(0x0028, 0x1053, b"DS", s(slope))
+    if intercept is not None:
+        body += el(0x0028, 0x1052, b"DS", s(intercept))
+    pix = np.ascontiguousarray(pixel, np.uint16).tobytes()
+    body += el(0x7FE0, 0x0010, b"OW", pix)
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def _make_series(tmp_path, n_slices=5, explicit=True, shuffle=True):
+    rng = np.random.default_rng(0)
+    truth = rng.integers(0, 4000, size=(n_slices, 6, 8)).astype(np.uint16)
+    order = list(range(n_slices))
+    if shuffle:
+        order = order[::-1]  # write in reverse to exercise sorting
+    paths = []
+    for i in order:
+        p = str(tmp_path / f"sl{i}.dcm")
+        write_test_dicom(p, truth[i], ipp=(10.0, 20.0, 30.0 + 3.0 * i),
+                         instance=i + 1, explicit=explicit)
+        paths.append(p)
+    return paths, truth
+
+
+def test_series_geometry_and_order(tmp_path):
+    paths, truth = _make_series(tmp_path)
+    vol, ref = series_to_volume(paths)
+    np.testing.assert_array_equal(np.asarray(vol.data), truth.astype(np.float32))
+    assert vol.spacing == (2.0, 1.5, 3.0)       # (dx=cols, dy=rows, dz)
+    assert vol.origin == (10.0, 20.0, 30.0)     # lowest slice after sorting
+    np.testing.assert_allclose(vol.direction, np.eye(3).reshape(-1))
+
+
+def test_implicit_vr_series(tmp_path):
+    paths, truth = _make_series(tmp_path, explicit=False)
+    vol, _ = series_to_volume(paths)
+    np.testing.assert_array_equal(np.asarray(vol.data), truth.astype(np.float32))
+
+
+def test_rescale_slope_intercept(tmp_path):
+    pix = np.arange(48, dtype=np.uint16).reshape(6, 8)
+    p = str(tmp_path / "r.dcm")
+    write_test_dicom(p, pix, ipp=(0, 0, 0), slope=2.0, intercept=-10.0)
+    vol, _ = series_to_volume([p])
+    np.testing.assert_allclose(np.asarray(vol.data)[0], pix * 2.0 - 10.0)
+
+
+def test_convert_series_writes_nifti_and_sidecar(tmp_path):
+    paths, truth = _make_series(tmp_path)
+    base = str(tmp_path / "out" / "sub-001_ses-01_run-1_T2w")
+    os.makedirs(os.path.dirname(base))
+    nii, js = convert_series(paths, base)
+    back = nifti.read(nii)
+    np.testing.assert_array_equal(np.asarray(back.data), truth.astype(np.float32))
+    np.testing.assert_allclose(back.spacing, (2.0, 1.5, 3.0), atol=1e-5)
+    import json
+    side = json.load(open(js))
+    assert side["EchoTime"] == 0.114            # seconds, BIDS convention
+    assert side["Rows"] == 6 and side["Columns"] == 8
+    assert side["ImageOrientationPatientDICOM"] == [1, 0, 0, 0, 1, 0]
+
+
+def test_group_series(tmp_path):
+    paths_a, _ = _make_series(tmp_path, n_slices=2)
+    p_b = str(tmp_path / "other.dcm")
+    write_test_dicom(p_b, np.zeros((6, 8), np.uint16), ipp=(0, 0, 0),
+                     series_uid="9.9.9")
+    groups = group_series(paths_a + [p_b])
+    assert len(groups) == 2
+    assert sorted(len(v) for v in groups.values()) == [1, 2]
+
+
+def test_sagittal_orientation(tmp_path):
+    # sagittal: rows along +y, columns along -z (a common sag IOP)
+    pix = np.arange(48, dtype=np.uint16).reshape(6, 8)
+    p = str(tmp_path / "sag.dcm")
+    write_test_dicom(p, pix, ipp=(5, 6, 7), iop=(0, 1, 0, 0, 0, -1))
+    vol, _ = series_to_volume([p])
+    d = np.asarray(vol.direction).reshape(3, 3)
+    np.testing.assert_allclose(d[:, 0], [0, 1, 0])    # +x index -> +y world
+    np.testing.assert_allclose(d[:, 1], [0, 0, -1])   # +y index -> -z world
+    np.testing.assert_allclose(d[:, 2], [-1, 0, 0])   # normal
