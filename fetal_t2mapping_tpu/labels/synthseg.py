@@ -7,6 +7,8 @@ of recon NIfTIs in, a directory of label NIfTIs out — with three backends:
 
 - 'subprocess': invoke a user-provided command template per directory pair
   (default ``mri_synthseg --i {input} --o {output} --robust --threads 4 --cpu``)
+- 'jax':       the TPU-native 3-D U-Net (labels.unet3d, SynthSeg topology);
+  weights from ``weights`` or $FT2_SYNTHSEG_WEIGHTS (.npz manifest)
 - 'callable':  any Python function f(input_dir, output_dir)
 - 'fake':      deterministic threshold-based labeler for tests/pipelines
   without FreeSurfer (foreground -> WM id 2, bright -> GM id 3, as a stand-in)
@@ -30,13 +32,16 @@ DEFAULT_CMD = "mri_synthseg --i {input} --o {output} --robust --threads 4 --cpu"
 
 @dataclasses.dataclass
 class SynthSegRunner:
-    mode: str = "subprocess"  # 'subprocess' | 'callable' | 'fake'
+    mode: str = "subprocess"  # 'subprocess' | 'jax' | 'callable' | 'fake'
     command_template: str = DEFAULT_CMD
     fn: Optional[Callable[[str, str], None]] = None
+    weights: Optional[str] = None  # .npz for mode='jax' ($FT2_SYNTHSEG_WEIGHTS)
 
     def available(self) -> bool:
         if self.mode == "subprocess":
             return shutil.which(self.command_template.split()[0]) is not None
+        if self.mode == "jax":
+            return bool(self.weights or os.environ.get("FT2_SYNTHSEG_WEIGHTS"))
         return True
 
     def run(self, input_dir: str, output_dir: str) -> None:
@@ -44,6 +49,8 @@ class SynthSegRunner:
         if self.mode == "subprocess":
             cmd = self.command_template.format(input=input_dir, output=output_dir)
             subprocess.run(cmd.split(), check=True)
+        elif self.mode == "jax":
+            self._jax(input_dir, output_dir)
         elif self.mode == "callable":
             if self.fn is None:
                 raise ValueError("mode='callable' requires fn")
@@ -52,6 +59,22 @@ class SynthSegRunner:
             self._fake(input_dir, output_dir)
         else:
             raise ValueError(f"unknown mode {self.mode!r}")
+
+    def _jax(self, input_dir: str, output_dir: str) -> None:
+        from .unet3d import load_params, segment_volume
+
+        weights = self.weights or os.environ.get("FT2_SYNTHSEG_WEIGHTS")
+        if not weights:
+            raise ValueError(
+                "mode='jax' needs converted SynthSeg weights "
+                "(weights=... or FT2_SYNTHSEG_WEIGHTS)")
+        params = load_params(weights)
+        for path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+            vol = nifti.read(path)
+            labels = segment_volume(params, np.asarray(vol.data))
+            base = os.path.basename(path).replace(".nii.gz", "_synthseg.nii.gz")
+            nifti.write(os.path.join(output_dir, base),
+                        vol.with_data(labels), dtype=np.int16)
 
     @staticmethod
     def _fake(input_dir: str, output_dir: str) -> None:

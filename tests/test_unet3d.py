@@ -1,0 +1,97 @@
+"""TPU-native SynthSeg-topology U-Net: shapes, determinism, pipeline wiring."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fetal_t2mapping_tpu.core import Volume, nifti
+from fetal_t2mapping_tpu.labels.synthseg import SynthSegRunner
+from fetal_t2mapping_tpu.labels.unet3d import (
+    SYNTHSEG_LABELS,
+    UNetConfig,
+    load_params,
+    pad_to_divisor,
+    random_params,
+    segment_volume,
+    unet_apply,
+)
+
+# small config so tests stay fast; same code path as the full network
+CFG = UNetConfig(n_levels=3, base_features=4, n_labels=len(SYNTHSEG_LABELS))
+
+
+def test_forward_shapes_and_divisor():
+    import jax.numpy as jnp
+
+    params = {k: jnp.asarray(v) for k, v in random_params(CFG).items()}
+    x = jnp.zeros((1, 8, 16, 8, 1), jnp.float32)
+    out = unet_apply(params, x, CFG)
+    assert out.shape == (1, 8, 16, 8, CFG.n_labels)
+
+
+def test_default_config_matches_synthseg_topology():
+    cfg = UNetConfig()
+    assert cfg.n_levels == 5 and cfg.base_features == 24
+    assert cfg.divisor == 16
+    params = random_params(cfg)
+    # encoder deepest level carries 24 * 2^4 = 384 features
+    assert params["enc4_0_w"].shape[-1] == 384
+    assert params["head_w"].shape == (1, 1, 1, 24, len(SYNTHSEG_LABELS))
+
+
+def test_segment_volume_labels_and_crop():
+    params = random_params(CFG, seed=1)
+    data = np.abs(np.random.default_rng(0).normal(500, 100, (9, 13, 11))).astype(np.float32)
+    labels = segment_volume(params, data, CFG)
+    assert labels.shape == data.shape          # padding cropped away
+    assert labels.dtype == np.int16
+    assert set(np.unique(labels)) <= set(SYNTHSEG_LABELS)
+    # deterministic
+    np.testing.assert_array_equal(labels, segment_volume(params, data, CFG))
+
+
+def test_pad_to_divisor_roundtrip():
+    d = np.arange(5 * 6 * 7, dtype=np.float32).reshape(5, 6, 7)
+    padded, crop = pad_to_divisor(d, 4)
+    assert padded.shape == (8, 8, 8)
+    np.testing.assert_array_equal(padded[crop], d)
+
+
+def test_runner_jax_mode(tmp_path):
+    params = random_params(CFG, seed=2)
+    wpath = str(tmp_path / "w.npz")
+    np.savez(wpath, **params)
+    assert load_params(wpath).keys() == params.keys()
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    vol = Volume(np.random.default_rng(1).normal(400, 50, (8, 8, 8)).astype(np.float32),
+                 spacing=(1, 1, 1), origin=(0, 0, 0))
+    nifti.write(str(in_dir / "sub-001_ses-01_te-114_recon_1mm.nii.gz"), vol)
+
+    runner = SynthSegRunner(mode="jax", weights=wpath)
+    assert runner.available()
+    # monkeypatch the full-size config down to the test config
+    from fetal_t2mapping_tpu.labels import synthseg as ss
+    from fetal_t2mapping_tpu.labels import unet3d
+
+    orig = unet3d.segment_volume
+    try:
+        unet3d.segment_volume = lambda p, d, cfg=CFG: orig(p, d, CFG)
+        runner.run(str(in_dir), str(out_dir))
+    finally:
+        unet3d.segment_volume = orig
+    outs = os.listdir(out_dir)
+    assert outs == ["sub-001_ses-01_te-114_recon_1mm_synthseg.nii.gz"]
+    lbl = nifti.read(str(out_dir / outs[0]))
+    assert set(np.unique(np.asarray(lbl.data))) <= set(SYNTHSEG_LABELS)
+
+
+def test_runner_jax_requires_weights():
+    r = SynthSegRunner(mode="jax")
+    if not os.environ.get("FT2_SYNTHSEG_WEIGHTS"):
+        assert not r.available()
+        with pytest.raises(ValueError):
+            r.run("/tmp/nonexistent_in", "/tmp/nonexistent_out")
