@@ -99,12 +99,14 @@ def gaussian_value(params, s, te):
 
 
 # ------------------------------------------------------- gaussian_rician
-def gaussian_rician_fgh(params, s, te):
+def gaussian_rician_fgh(params, s, te, e_list=None):
     """Full-Newton (f, g, H) of the first-moment Rician-corrected mean-SSE.
 
     Model M = sqrt(q), q = a^2 + sigma^2, a = k exp(-te/t2). Second
     derivatives via d2M = d2q/(2M) - dq_x dq_y/(4 M^3).
-    """
+
+    e_list: optional precomputed [exp(-te_i/t2)] at ``params`` (the fused
+    kernels carry it across iterations, making this pass exp-free)."""
     k, t2, sg = params
     inv_t = 1.0 / len(te)
     u_inv = -1.0 / t2
@@ -112,8 +114,8 @@ def gaussian_rician_fgh(params, s, te):
     g = [jnp.zeros_like(k) for _ in range(3)]
     h = [[jnp.zeros_like(k) for _ in range(3)] for _ in range(3)]
     sg2 = sg * sg
-    for st, t in zip(s, te):
-        e = jnp.exp(t * u_inv)
+    for i_te, (st, t) in enumerate(zip(s, te)):
+        e = jnp.exp(t * u_inv) if e_list is None else e_list[i_te]
         a = k * e
         u = t / (t2 * t2)
         a2 = a * a
@@ -160,28 +162,37 @@ def gaussian_rician_fgh(params, s, te):
 
 
 def gaussian_rician_value(params, s, te):
+    return gaussian_rician_value_e(params, s, te)[0]
+
+
+def gaussian_rician_value_e(params, s, te):
+    """(objective, [exp(-te/t2)]) — the exponentials feed the next fgh call."""
     k, t2, sg = params
     u_inv = -1.0 / t2
     f = jnp.zeros_like(k)
+    es = []
     for st, t in zip(s, te):
-        a = k * jnp.exp(t * u_inv)
+        e = jnp.exp(t * u_inv)
+        es.append(e)
+        a = k * e
         r = st - jnp.sqrt(a * a + sg * sg)
         f = f + r * r
-    return f / len(te)
+    return f / len(te), es
 
 
 # ---------------------------------------------------------------- rician
 _LOG_EPS = 1e-20
 
 
-def rician_fgh(params, s, te):
+def rician_fgh(params, s, te, e_list=None):
     """Full-Newton (f, g, H) of the negative Rician log-likelihood.
 
     Per echo: L = log s - log sg^2 - (s^2+m^2)/(2 sg^2) + x + log i0e(x),
     x = m s / sg^2, m = k exp(-te/t2); f = -sum L (reference
     run_t2mapping.py:157-177). Uses R = I1/I0 and R' = 1 - R/x - R^2;
     the x->0 limit of R/x is 1/2 (guarded).
-    """
+
+    e_list: optional precomputed [exp(-te_i/t2)] at ``params``."""
     k, t2, sg = params
     u_inv = -1.0 / t2
     sg2 = sg * sg
@@ -190,8 +201,8 @@ def rician_fgh(params, s, te):
     f = jnp.zeros_like(k)
     g = [jnp.zeros_like(k) for _ in range(3)]
     h = [[jnp.zeros_like(k) for _ in range(3)] for _ in range(3)]
-    for st, t in zip(s, te):
-        e = jnp.exp(t * u_inv)
+    for i_te, (st, t) in enumerate(zip(s, te)):
+        e = jnp.exp(t * u_inv) if e_list is None else e_list[i_te]
         m = k * e
         u = t / (t2 * t2)
         x = m * st * inv_s2
@@ -237,18 +248,34 @@ def rician_fgh(params, s, te):
 
 
 def rician_value(params, s, te):
+    return rician_value_e(params, s, te)[0]
+
+
+def rician_value_e(params, s, te):
+    """(objective, [exp(-te/t2)]) — the exponentials feed the next fgh call."""
     k, t2, sg = params
     u_inv = -1.0 / t2
     sg2 = sg * sg
     f = jnp.zeros_like(k)
+    es = []
     for st, t in zip(s, te):
-        m = k * jnp.exp(t * u_inv)
+        e = jnp.exp(t * u_inv)
+        es.append(e)
+        m = k * e
         x = m * st / sg2
         L = (jnp.log(jnp.maximum(st, _LOG_EPS)) - jnp.log(sg2)
              - (st * st + m * m) * 0.5 / sg2
              + x + jnp.log(jnp.maximum(i0e(x), 1e-30)))
         f = f - L
-    return f
+    return f, es
+
+
+def gaussian_value_e(params, s, te):
+    k, t2 = params
+    u_inv = -1.0 / t2
+    es = [jnp.exp(t * u_inv) for t in te]
+    r = [st - k * et for st, et in zip(s, es)]
+    return sum(rt * rt for rt in r) / len(te), es
 
 
 FGH = {
@@ -260,5 +287,11 @@ VALUE = {
     "gaussian": gaussian_value,
     "gaussian_rician": gaussian_rician_value,
     "rician": rician_value,
+}
+# value + the per-echo exponentials (for kernels that carry them)
+VALUE_E = {
+    "gaussian": gaussian_value_e,
+    "gaussian_rician": gaussian_rician_value_e,
+    "rician": rician_value_e,
 }
 N_PARAMS = {"gaussian": 2, "gaussian_rician": 3, "rician": 3}

@@ -36,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fgh import FGH, N_PARAMS, VALUE
+from .fgh import FGH, N_PARAMS, VALUE, VALUE_E
 from .solver import FitResult, _tail_partition
 
 _LANE = 128
@@ -215,24 +215,28 @@ def _masked_solve3(h, g, fm, lam):
 
 
 def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
-    """Bounded damped-Newton loop for one start; x0 = (k, t2, sg) tiles."""
+    """Bounded damped-Newton loop for one start; x0 = (k, t2, sg) tiles.
+
+    The per-echo exponentials at the current iterate ride the carry, so the
+    gradient/Hessian pass is exp-free (one exp per TE per iteration total —
+    the candidate evaluation)."""
     fgh_fn = FGH[model]
-    val_fn = VALUE[model]
+    val_e = VALUE_E[model]
     x0 = tuple(jnp.clip(xi, l, h) for xi, l, h in zip(x0, lo, hi))
-    f0 = val_fn(x0, s, te)
+    f0, e0 = val_e(x0, s, te)
     shape = x0[0].shape
     tol_b = tuple(1e-8 * max(h - l, 1.0) for l, h in zip(lo, hi))
 
     def body(carry):
-        x, f, lam, convf, nit, it = carry
+        x, f, lam, convf, nit, it, e_cur = carry
         conv = convf > 0.5
-        _, g, h = fgh_fn(x, s, te)
+        _, g, h = fgh_fn(x, s, te, e_cur)
         free = [~(((x[i] <= lo[i] + tol_b[i]) & (g[i] > 0))
                   | ((x[i] >= hi[i] - tol_b[i]) & (g[i] < 0))) for i in range(3)]
         fm = [fi.astype(f.dtype) for fi in free]
         p = _masked_solve3(h, g, fm, lam)
         x_new = tuple(jnp.clip(x[i] + p[i], lo[i], hi[i]) for i in range(3))
-        f_new = val_fn(x_new, s, te)
+        f_new, e_new = val_e(x_new, s, te)
 
         accept = f_new <= f
         rel_red = (f - f_new) / jnp.maximum(jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
@@ -254,19 +258,20 @@ def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
         upd = accept & ~conv
         x = tuple(jnp.where(upd, xn, xo) for xn, xo in zip(x_new, x))
         f = jnp.where(upd, f_new, f)
+        e_cur = [jnp.where(upd, en, eo) for en, eo in zip(e_new, e_cur)]
         lam_new = jnp.where(accept, lam * _LAM_DOWN, lam * _LAM_UP)
         lam = jnp.where(conv, lam, jnp.clip(lam_new, _LAM_MIN, _LAM_MAX))
         nit = nit + upd.astype(jnp.float32)
         convf = jnp.maximum(convf, newly.astype(jnp.float32))
-        return (x, f, lam, convf, nit, it + 1)
+        return (x, f, lam, convf, nit, it + 1, e_cur)
 
     def cond(carry):
         return (carry[5] < max_iters) & (jnp.min(carry[3]) < 0.5)
 
     carry0 = (x0, f0, jnp.full(shape, _LAM0, jnp.float32),
               jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-              jnp.asarray(0, jnp.int32))
-    x, f, _, convf, nit, _ = lax.while_loop(cond, body, carry0)
+              jnp.asarray(0, jnp.int32), e0)
+    x, f, _, convf, nit, _, _ = lax.while_loop(cond, body, carry0)
     return x, f, convf, nit
 
 
