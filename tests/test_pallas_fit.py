@@ -52,6 +52,20 @@ def test_fused_recovers_truth_noiseless():
     np.testing.assert_allclose(x[:, 0], k, rtol=2e-3)
 
 
+def test_fused_six_echoes():
+    # the BASELINE north-star protocol is 5-8 TEs; exercise T=6 end to end
+    tes6 = (50.0, 114.0, 160.0, 202.0, 250.0, 299.0)
+    rng = np.random.default_rng(5)
+    te = np.asarray(tes6, np.float32)
+    k = rng.uniform(600.0, 5000.0, 300).astype(np.float32)
+    t2 = rng.uniform(40.0, 500.0, 300).astype(np.float32)
+    sig = (k[:, None] * np.exp(-te[None, :] / t2[:, None])).astype(np.float32)
+    r = fit_fused(sig, tes6, LO, HI, phase1_iters=10, max_iters=30)
+    x = np.asarray(r.x)
+    np.testing.assert_allclose(x[:, 1], t2, rtol=2e-3)
+    assert np.asarray(r.converged).all()
+
+
 def test_fused_result_shapes_and_padding():
     # N deliberately not a multiple of 128 to exercise padding
     sig, _, _ = _synthetic(300)
