@@ -53,7 +53,7 @@ def main(model: str = "gaussian"):
 
     def fit(signal):
         return fit_fused(signal, TES, lo, hi, model=model,
-                         phase1_iters=12, max_iters=60, **kwargs)
+                         phase1_iters=10, max_iters=60, **kwargs)
 
     sig_dev = jax.device_put(sig)
 

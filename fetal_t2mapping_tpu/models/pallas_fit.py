@@ -495,7 +495,7 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
 
 def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               guess: Sequence[float] | None = None,
-              phase1_iters: int = 16, max_iters: int = 60, ftol: float = 1e-9,
+              phase1_iters: int = 10, max_iters: int = 60, ftol: float = 1e-9,
               gtol: float = 0.0, tail_frac: float = 0.0625,
               no_prior: bool = False,
               interpret: bool | None = None) -> FitResult:

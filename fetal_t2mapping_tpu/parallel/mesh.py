@@ -67,7 +67,7 @@ def fit_batch_sharded(signal, te, x0, lo, hi, mesh: Mesh, **fit_kwargs):
 
 
 def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian",
-                      guess=None, phase1_iters: int = 16, max_iters: int = 60,
+                      guess=None, phase1_iters: int = 10, max_iters: int = 60,
                       ftol: float = 1e-9, gtol: float = 0.0,
                       tail_frac: float = 0.0625, no_prior: bool = False,
                       interpret=None):
