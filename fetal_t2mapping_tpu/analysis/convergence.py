@@ -76,7 +76,7 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
     ax.set_title("Step-Size Convergence of Sampled Voxels Colored by T2 Value")
     ax.grid(True)
     plt.tight_layout()
-    p = os.path.join(ada_path, f"step_size_convergence_sampled_voxels_by_t2_{sub}_{ses}_sim-{sim}.png")
+    p = os.path.join(ada_path, f"step_size_convergence_sampled_voxels_by_t2_{sub}_{ses}_sim-{sim}_ada-{fit}.png")
     plt.savefig(p)
     plt.close(fig)
     paths.append(p)
@@ -94,7 +94,7 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
     ax.set_title("Final Number of Iterations vs Final Loss (Colored by T2)")
     ax.grid(True)
     plt.tight_layout()
-    p = os.path.join(ada_path, f"scatter_iterations_vs_loss_by_t2_{sub}_{ses}_sim-{sim}.png")
+    p = os.path.join(ada_path, f"scatter_iterations_vs_loss_by_t2_{sub}_{ses}_sim-{sim}_ada-{fit}.png")
     plt.savefig(p)
     plt.close(fig)
     paths.append(p)

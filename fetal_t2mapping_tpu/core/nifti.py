@@ -189,9 +189,10 @@ def parse(raw: bytes, name: str = "<bytes>") -> Volume:
     # NIfTI voxels are Fortran-ordered in (x,y,z) == C-ordered in (z,y,x)
     data = data.reshape(shape_xyz[::-1])
 
-    if scl_slope not in (0.0, 1.0) or scl_inter not in (0.0,):
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data.astype(np.float32) * np.float32(slope) + np.float32(scl_inter)
+    # NIfTI-1: scl_slope == 0 means NO scaling at all (inter must be ignored
+    # too — stale intercepts with slope 0 are common in the wild)
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
+        data = data.astype(np.float32) * np.float32(scl_slope) + np.float32(scl_inter)
     else:
         data = np.asarray(data)
         if data.dtype.byteorder not in ("=", "|", "<"):

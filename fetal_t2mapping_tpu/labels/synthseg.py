@@ -47,8 +47,13 @@ class SynthSegRunner:
     def run(self, input_dir: str, output_dir: str) -> None:
         os.makedirs(output_dir, exist_ok=True)
         if self.mode == "subprocess":
-            cmd = self.command_template.format(input=input_dir, output=output_dir)
-            subprocess.run(cmd.split(), check=True)
+            import shlex
+
+            # split the TEMPLATE, then substitute paths as whole argv
+            # elements — paths with spaces must not be word-split
+            argv = [a.format(input=input_dir, output=output_dir)
+                    for a in shlex.split(self.command_template)]
+            subprocess.run(argv, check=True)
         elif self.mode == "jax":
             self._jax(input_dir, output_dir)
         elif self.mode == "callable":

@@ -71,7 +71,7 @@ def _loglin_tiles(s, te):
 
 def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
                        hi: Tuple[float, float], max_iters: int, ftol: float,
-                       no_prior: bool,
+                       gtol: float, no_prior: bool,
                        sig_ref, params_ref, stats_ref):
     """One (T, BR, 128) block: init + full Newton loop for the gaussian model.
 
@@ -91,26 +91,28 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
     k = jnp.clip(k, lo_k, hi_k)
     t2 = jnp.clip(t2, lo_t2, hi_t2)
 
-    def model_at(kv, t2v):
+    def exps_at(t2v):
         u = -1.0 / t2v
-        return [kv * jnp.exp(t * u) for t in te]
+        return [jnp.exp(t * u) for t in te]
 
-    def sse(ms):
-        return sum(jnp.square(st - mt) for st, mt in zip(s, ms)) * inv_t
+    def sse(kv, es):
+        return sum(jnp.square(st - kv * et) for st, et in zip(s, es)) * inv_t
 
-    e0 = model_at(k, t2)
-    f = sse(e0)
+    e0 = exps_at(t2)
+    f = sse(k, e0)
 
     tol_k = 1e-8 * jnp.maximum(hi_k - lo_k, 1.0)   # tile when no_prior
     tol_t = 1e-8 * max(hi_t2 - lo_t2, 1.0)
 
     def body(carry):
-        k, t2, f, lam, convf, nit, it, m = carry
+        k, t2, f, lam, convf, nit, it, e = carry
         conv = convf > 0.5  # carried as f32: Mosaic can't yield i1 vectors
-        # m = [k*exp(-te/t2)] at the CURRENT iterate (carried; no exp here)
+        # e = [exp(-te/t2)] at the CURRENT iterate (carried; no exp here).
+        # Carrying e, not m = k*e, keeps the derivatives well-defined when a
+        # step clips k to exactly 0 (m/k would freeze the voxel forever).
+        m = [k * et for et in e]
         r = [st - mt for st, mt in zip(s, m)]
         u = [t / (t2 * t2) for t in te]               # d(-te/t2)/dt2
-        e = [mt / jnp.maximum(k, 1e-30) for mt in m]  # exp(-te/t2)
         dm_t = [mt * ut for mt, ut in zip(m, u)]      # dm/dt2
 
         g_k = -2.0 * inv_t * sum(rt * et for rt, et in zip(r, e))
@@ -144,26 +146,34 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
 
         k_new = jnp.clip(k + p_k, lo_k, hi_k)
         t2_new = jnp.clip(t2 + p_t, lo_t2, hi_t2)
-        m_new = model_at(k_new, t2_new)               # the T exps of this iter
-        f_new = sse(m_new)
+        e_new = exps_at(t2_new)                       # the T exps of this iter
+        f_new = sse(k_new, e_new)
 
         accept = f_new <= f
         rel_red = (f - f_new) / jnp.maximum(jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
         conv_f = accept & (rel_red <= ftol) & (lam <= 1.0)
         step_sq = jnp.square(k_new - k) + jnp.square(t2_new - t2)
         conv_x = step_sq <= _XTOL_REL * _XTOL_REL * (1.0 + jnp.square(k) + jnp.square(t2))
-        newly = (conv_f | conv_x | (lam >= _LAM_STALL)) & ~conv
+        if gtol > 0:
+            pg_k = jnp.where(k <= lo_k + tol_k, jnp.minimum(g_k, 0.0),
+                             jnp.where(k >= hi_k - tol_k, jnp.maximum(g_k, 0.0), g_k))
+            pg_t = jnp.where(t2 <= lo_t2 + tol_t, jnp.minimum(g_t, 0.0),
+                             jnp.where(t2 >= hi_t2 - tol_t, jnp.maximum(g_t, 0.0), g_t))
+            conv_g = jnp.maximum(jnp.abs(pg_k), jnp.abs(pg_t)) <= gtol
+        else:
+            conv_g = jnp.zeros_like(accept)
+        newly = (conv_f | conv_x | conv_g | (lam >= _LAM_STALL)) & ~conv
 
         upd = accept & ~conv
         k = jnp.where(upd, k_new, k)
         t2 = jnp.where(upd, t2_new, t2)
         f = jnp.where(upd, f_new, f)
-        m = [jnp.where(upd, mn, mo) for mn, mo in zip(m_new, m)]
+        e = [jnp.where(upd, en, eo) for en, eo in zip(e_new, e)]
         lam_new = jnp.where(accept, lam * _LAM_DOWN, lam * _LAM_UP)
         lam = jnp.where(conv, lam, jnp.clip(lam_new, _LAM_MIN, _LAM_MAX))
         nit = nit + upd.astype(jnp.float32)
         convf = jnp.maximum(convf, newly.astype(jnp.float32))
-        return (k, t2, f, lam, convf, nit, it + 1, m)
+        return (k, t2, f, lam, convf, nit, it + 1, e)
 
     def cond(carry):
         it, convf = carry[6], carry[4]
@@ -360,7 +370,7 @@ def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
                 interpret=False):
     """Run the 3-param kernel over (T, R, 128) tiles."""
     T, R, _ = sig_tiles.shape
-    br = min(_BR, R)
+    br = _block_rows(R)
     grid = (pl.cdiv(R, br),)
     kernel = functools.partial(_kernel3_body, model, te, lo, hi, guess,
                                max_iters, ftol, gtol)
@@ -389,15 +399,15 @@ def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
 
 @functools.partial(jax.jit,
                    static_argnames=("te", "lo", "hi", "max_iters", "ftol",
-                                    "no_prior", "interpret"))
-def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol,
+                                    "gtol", "no_prior", "interpret"))
+def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol, gtol=0.0,
                      no_prior=False, interpret=False):
     """Run the fused kernel over (T, R, 128) tiles -> ((2,R,128), (3,R,128))."""
     T, R, _ = sig_tiles.shape
-    br = min(_BR, R)
+    br = _block_rows(R)
     grid = (pl.cdiv(R, br),)
     kernel = functools.partial(_gauss_kernel_body, te, lo, hi, max_iters, ftol,
-                               no_prior)
+                               gtol, no_prior)
     params, stats = pl.pallas_call(
         kernel,
         grid=grid,
@@ -421,13 +431,24 @@ def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol,
     return params, stats
 
 
+def _block_rows(r: int) -> int:
+    """Balanced sublane-row block size: split R over ceil(R/_BR) equal blocks
+    (rounded up to the 8-row f32 sublane tile), so padding never exceeds one
+    tile per block instead of up to a whole 128*_BR block (~33k voxels)."""
+    n_blocks = -(-r // _BR)
+    br = -(-r // n_blocks)
+    return -(-br // 8) * 8
+
+
 def _to_tiles(signal: jax.Array, n: int) -> Tuple[jax.Array, int]:
-    """(N, T) -> (T, R, 128) with N padded up to a 128*BR multiple."""
+    """(N, T) -> (T, R, 128), N padded so R divides evenly into blocks."""
     t_axis = signal.shape[1]
-    block = _LANE * min(_BR, max(1, n // _LANE or 1))
-    n_pad = -(-n // block) * block
+    r = max(1, -(-n // _LANE))
+    br = _block_rows(r)
+    r_pad = -(-r // br) * br
+    n_pad = r_pad * _LANE
     sig = jnp.pad(signal, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    return jnp.transpose(sig, (1, 0)).reshape(t_axis, n_pad // _LANE, _LANE), n_pad
+    return jnp.transpose(sig, (1, 0)).reshape(t_axis, r_pad, _LANE), n_pad
 
 
 def _from_tiles(arr: jax.Array, n: int) -> jax.Array:
@@ -440,7 +461,7 @@ def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
                no_prior, interpret):
     if model == "gaussian":
         return _gauss_fit_tiles(tiles, te=te, lo=lo, hi=hi,
-                                max_iters=max_iters, ftol=ftol,
+                                max_iters=max_iters, ftol=ftol, gtol=gtol,
                                 no_prior=no_prior, interpret=interpret)
     return _fit3_tiles(tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
                        max_iters=max_iters, ftol=ftol, gtol=gtol,
@@ -493,6 +514,30 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     return FitResult(x=x, fun=fun, converged=conv, n_iter=nit)
 
 
+def validate_fused_args(model, te, lo, hi, guess, no_prior):
+    """Validate + normalize static fused-fit arguments (shared by the
+    single-chip fit_fused and parallel.fit_fused_sharded, so both entry
+    points reject bad input identically and apply the same safety clamps)."""
+    if model not in N_PARAMS:
+        raise ValueError(f"unknown model {model!r}")
+    p = N_PARAMS[model]
+    if len(lo) != p or len(hi) != p:
+        raise ValueError(f"{model} needs {p} bounds, got {len(lo)}/{len(hi)}")
+    if no_prior and model != "gaussian":
+        raise ValueError("no_prior bounds are defined for the gaussian model only")
+    te_t = tuple(float(x) for x in te)
+    lo_t = tuple(float(x) for x in lo)
+    hi_t = tuple(float(x) for x in hi)
+    if model == "rician":
+        # the likelihood divides by sigma^2: keep the lower bound off zero
+        lo_t = lo_t[:2] + (max(lo_t[2], 1e-2),)
+    if guess is None:
+        guess_t = tuple((l + h) / 2.0 for l, h in zip(lo_t, hi_t))
+    else:
+        guess_t = tuple(float(x) for x in guess)
+    return te_t, lo_t, hi_t, guess_t
+
+
 def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               guess: Sequence[float] | None = None,
               phase1_iters: int = 10, max_iters: int = 60, ftol: float = 1e-9,
@@ -525,25 +570,10 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
     Returns:
         FitResult with (N, P) parameters; identical semantics to fit_batch.
     """
-    if model not in N_PARAMS:
-        raise ValueError(f"unknown model {model!r}")
-    p = N_PARAMS[model]
-    if len(lo) != p or len(hi) != p:
-        raise ValueError(f"{model} needs {p} bounds, got {len(lo)}/{len(hi)}")
-    if no_prior and model != "gaussian":
-        raise ValueError("no_prior bounds are defined for the gaussian model only")
+    te_t, lo_t, hi_t, guess_t = validate_fused_args(model, te, lo, hi, guess,
+                                                    no_prior)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    te_t = tuple(float(x) for x in te)
-    lo_t = tuple(float(x) for x in lo)
-    hi_t = tuple(float(x) for x in hi)
-    if model == "rician":
-        # the likelihood divides by sigma^2: keep the lower bound off zero
-        lo_t = lo_t[:2] + (max(lo_t[2], 1e-2),)
-    if guess is None:
-        guess_t = tuple((l + h) / 2.0 for l, h in zip(lo_t, hi_t))
-    else:
-        guess_t = tuple(float(x) for x in guess)
     signal = jnp.asarray(signal, jnp.float32)
     result = _fit_fused_impl(
         signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,

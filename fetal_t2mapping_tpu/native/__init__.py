@@ -41,11 +41,12 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("FT2_DISABLE_NATIVE"):
             return None
-        src_newer = (os.path.exists(_SO)
+        have_src = os.path.exists(_SRC)
+        src_newer = (have_src and os.path.exists(_SO)
                      and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
         if not os.path.exists(_SO) or src_newer:
-            if not _build():
-                return None
+            if not have_src or not _build():
+                return None  # prebuilt-.so-only deployments still load below
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -133,7 +134,8 @@ def write_file(path: str, data: bytes, *, gzip_level: Optional[int] = None) -> b
     if lib is None:
         return False
     level = -1 if gzip_level is None else int(gzip_level)
-    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    # no copy: bytes are immutable and pinned for the duration of the call
+    buf = ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
     rc = lib.ft2_write_file(os.fsencode(path), buf, len(data), level)
     if rc != 0:
         raise OSError(f"ft2_write_file({path!r}) failed with code {rc}")

@@ -103,8 +103,8 @@ int ft2_write_file(const char* path, const uint8_t* buf, uint64_t len,
     FILE* f = fopen(path, "wb");
     if (!f) return -1;
     size_t w = fwrite(buf, 1, len, f);
-    fclose(f);
-    return w == len ? 0 : -4;
+    int rc = fclose(f);  // buffered flush can fail here (e.g. ENOSPC)
+    return (w == len && rc == 0) ? 0 : -4;
   }
   char mode[8];
   snprintf(mode, sizeof mode, "wb%d", level > 9 ? 9 : level);

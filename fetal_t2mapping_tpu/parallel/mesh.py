@@ -81,20 +81,18 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
     """
     import functools
 
-    from ..models.pallas_fit import _fit_fused_impl
+    from ..models.pallas_fit import _fit_fused_impl, validate_fused_args
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = np.shape(signal)[0]
     if n % mesh.devices.size:
         raise ValueError(f"voxel count {n} not divisible by mesh size {mesh.devices.size}")
-    lo_t = tuple(float(x) for x in lo)
-    hi_t = tuple(float(x) for x in hi)
-    if guess is None:
-        guess = tuple((l + h) / 2.0 for l, h in zip(lo_t, hi_t))
+    te_t, lo_t, hi_t, guess_t = validate_fused_args(model, te, lo, hi, guess,
+                                                    no_prior)
     fn = functools.partial(
-        _fit_fused_impl, model=model, te=tuple(float(x) for x in te),
-        lo=lo_t, hi=hi_t, guess=tuple(float(x) for x in guess),
+        _fit_fused_impl, model=model, te=te_t,
+        lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, interpret=bool(interpret))
 

@@ -61,12 +61,26 @@ def test_bessel_ratio_limits():
     assert np.all(np.diff(r) > 0)
 
 
+@pytest.fixture
+def x64():
+    """Run a test in float64: XLA CPU's multi-threaded fp32 reductions are
+    run-order nondeterministic, which intermittently flakes comparisons of
+    near-zero Hessian entries; f64 makes the algebra check deterministic."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 @pytest.mark.parametrize("model", ["gaussian", "gaussian_rician", "rician"])
-def test_fgh_matches_autodiff(model):
+def test_fgh_matches_autodiff(model, x64):
     n_params = fgh.N_PARAMS[model]
     params, s = _rand_points(model, seed=hash(model) % 2**31)
+    params = tuple(p.astype(np.float64) for p in params)
+    s = s.astype(np.float64)
     obj = make_objective(model)
-    te = jnp.asarray(TES, jnp.float32)
+    te = jnp.asarray(TES, jnp.float64)
 
     def per_voxel(p, sv):
         return obj(p, te, sv)
