@@ -36,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fgh import FGH, N_PARAMS, VALUE, VALUE_E
+from .fgh import FGH, N_PARAMS, VALUE_E
 from .solver import FitResult, _tail_partition
 
 _LANE = 128

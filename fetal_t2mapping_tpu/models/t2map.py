@@ -80,12 +80,14 @@ def fit_stack(
         # per-voxel max-normalization (reference run_t2mapping.py:236-240)
         batch = batch / np.maximum(batch.max(axis=1, keepdims=True), 1e-12)
 
-    lo, hi = _bounds_for(cfg, batch)
-    x0 = _init_for(cfg, batch, te, lo, hi)
-
     t0 = time.time()
     use_fused = (cfg.loglinear_init and jax.default_backend() != "cpu"
                  and (cfg.prior or cfg.model == "gaussian"))
+    if not use_fused:
+        # the fused path derives bounds/starts in-kernel; the (N, P) host
+        # arrays (~270 MB at 256^3) are only needed by the vmapped solver
+        lo, hi = _bounds_for(cfg, batch)
+        x0 = _init_for(cfg, batch, te, lo, hi)
     if use_fused:
         # the fused Pallas kernel path (in-kernel 3-start multistart for the
         # non-convex 3-param models; in-kernel per-voxel no-prior k bound)
@@ -136,8 +138,11 @@ def fit_stack(
     rng = np.random.default_rng(seed)
     n_tr = min(trace_samples, n)
     tr_sel = rng.choice(n, size=n_tr, replace=False)
+    tr_batch = batch[tr_sel]
+    tr_lo, tr_hi = _bounds_for(cfg, tr_batch)
+    tr_x0 = np.asarray(_init_for(cfg, tr_batch, te, tr_lo, tr_hi))
     _, traces = fit_batch_traced(
-        batch[tr_sel], te, np.asarray(x0)[tr_sel], lo[tr_sel], hi[tr_sel],
+        tr_batch, te, tr_x0, tr_lo, tr_hi,
         model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
     )
     traces = {name: np.asarray(v) for name, v in traces.items()}

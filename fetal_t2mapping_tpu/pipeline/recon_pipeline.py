@@ -11,6 +11,7 @@ bet->feta->atlas labels. In-vitro: phantom sphere labels from seeds.
 
 from __future__ import annotations
 
+import glob
 import logging
 import os
 import re
@@ -156,7 +157,6 @@ def run_segmentation(metadata: pd.DataFrame, bids_path: str,
 
 
 def _derivative_files(bids_path, prj, sub, ses, dirname):
-    import glob
     d = os.path.join(bids_path, prj, "derivatives", dirname, sub, ses, "anat")
     return sorted(glob.glob(os.path.join(d, "*.nii.gz")))
 
@@ -307,7 +307,6 @@ def build_phantom_masks(metadata: pd.DataFrame, bids_path: str, *,
 def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
                          seeds: Sequence[Sequence[int]], radius: int = 6) -> None:
     """In-vitro: sphere labels from seed voxels (reference :868-933)."""
-    import glob
     for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
         input_dir = os.path.join(bids_path, prj, "derivatives", C.RECON_DIRNAME, sub, ses, "anat")
         out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.PHANTOM_LABELS_DIRNAME, sub, ses, "anat")

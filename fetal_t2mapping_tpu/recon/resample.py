@@ -26,11 +26,6 @@ def _world_to_index_matrix(vol: Volume):
     return np.linalg.inv(M), np.asarray(vol.origin)
 
 
-def _index_grid_world(geom: Volume) -> np.ndarray:
-    """(N, 3) world coordinates of every voxel of ``geom`` (z-major order)."""
-    return geom.world_grid().reshape(-1, 3)
-
-
 def sample_volume_at_world(vol: Volume, world_pts, *, method: str = "linear",
                            cval: float = 0.0):
     """Sample ``vol`` at (N, 3) world (x,y,z) points; returns (N,) values."""
