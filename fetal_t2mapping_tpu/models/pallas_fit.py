@@ -490,28 +490,38 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     capacity = max(_LANE, int(n_pad * tail_frac) // _LANE * _LANE)
     tail_idx, n_tail = _tail_partition(conv1, capacity)
 
-    # phase 2: re-fit the compacted tail with the remaining budget.
-    # Re-running init on the gathered raw signal is free (one fused pass) and
-    # keeps the kernel single-entry; the tail restarts from the same x0 and
-    # re-treads phase 1's steps deterministically before going further.
-    sig_tail = signal[tail_idx]
-    tiles2, _ = _to_tiles(sig_tail, capacity)
-    params2, stats2 = _run_tiles(
-        tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
-        max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
-        interpret=interpret)
-    x2 = _from_tiles(params2, capacity)
-    st2 = stats2.reshape(3, -1)
+    def phase2(_):
+        # Re-fit the compacted tail with the remaining budget. Re-running
+        # init on the gathered raw signal is free (one fused pass) and keeps
+        # the kernel single-entry; the tail restarts from the same x0 and
+        # re-treads phase 1's steps deterministically before going further.
+        # no_prior per-voxel bounds travel with the gathered signal rows.
+        sig_tail = signal[tail_idx]
+        tiles2, _ = _to_tiles(sig_tail, capacity)
+        params2, stats2 = _run_tiles(
+            tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
+            max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
+            interpret=interpret)
+        x2 = _from_tiles(params2, capacity)
+        st2 = stats2.reshape(3, -1)
 
-    valid = jnp.arange(capacity) < n_tail
-    safe_idx = jnp.where(valid, tail_idx, n)           # n = out of range -> drop
-    x = x1.at[safe_idx].set(x2, mode="drop")
-    fun = fun1_v.at[safe_idx].set(st2[0, :capacity], mode="drop")
-    conv = conv1.at[safe_idx].set(st2[1, :capacity] > 0.5, mode="drop")
-    nit = nit1_v.astype(jnp.int32).at[safe_idx].set(
-        st2[2, :capacity].astype(jnp.int32), mode="drop")
-    # voxels beyond capacity (n_tail > capacity) keep phase-1 results, conv=False
-    return FitResult(x=x, fun=fun, converged=conv, n_iter=nit)
+        valid = jnp.arange(capacity) < n_tail
+        safe_idx = jnp.where(valid, tail_idx, n)       # n = out of range -> drop
+        x = x1.at[safe_idx].set(x2, mode="drop")
+        fun = fun1_v.at[safe_idx].set(st2[0, :capacity], mode="drop")
+        conv = conv1.at[safe_idx].set(st2[1, :capacity] > 0.5, mode="drop")
+        nit = nit1_v.astype(jnp.int32).at[safe_idx].set(
+            st2[2, :capacity].astype(jnp.int32), mode="drop")
+        # voxels beyond capacity (n_tail > capacity) keep phase-1 results
+        return FitResult(x=x, fun=fun, converged=conv, n_iter=nit)
+
+    def phase1_only(_):
+        return FitResult(x=x1, fun=fun1_v, converged=conv1,
+                         n_iter=nit1_v.astype(jnp.int32))
+
+    # everything converged in phase 1 (common on clean clinical data):
+    # skip the gather + second kernel + scatter entirely
+    return lax.cond(n_tail > 0, phase2, phase1_only, operand=None)
 
 
 def validate_fused_args(model, te, lo, hi, guess, no_prior):
