@@ -26,14 +26,24 @@ from .bids import get_img_path
 
 def save_nifti_maps(out, bids_path: str, acq: Mapping, t2map_dirname: str,
                     sim: str, fit: str) -> dict:
-    """Write t2/k/sigma/res maps; returns {param: path}."""
-    paths = {}
+    """Write t2/k/sigma/res maps; returns {param: path}.
+
+    The four gzip compressions run in a thread pool — the native writer
+    (and zlib inside the pure-Python path) releases the GIL, so the maps
+    compress in parallel."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base = get_img_path(bids_path, acq, t2map_dirname)
+    jobs = []
     for vol, param in zip((out.t2, out.k, out.sigma, out.res), ("t2", "k", "sigma", "res")):
         path = base.replace("t2map.nii.gz", f"sim-{sim}_{param}map_ada-{fit}.nii.gz")
-        nifti.write(path, vol, dtype=np.float32)
-        paths[param] = path
-    return paths
+        jobs.append((param, path, vol))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [pool.submit(nifti.write, path, vol, dtype=np.float32)
+                   for _, path, vol in jobs]
+        for f in futures:
+            f.result()
+    return {param: path for param, path, _ in jobs}
 
 
 def phantom_roi_stats(t2_map: np.ndarray, k_map: np.ndarray, sigma_map: np.ndarray,

@@ -37,6 +37,24 @@ def test_build_slice_mask_fills_2d_holes():
     assert mask[10, 10, 0]
 
 
+def test_nifti_slope_zero_means_no_scaling(tmp_path):
+    # NIfTI-1: scl_slope == 0 -> ignore scaling entirely, including a stale
+    # nonzero scl_inter (common in the wild; nibabel/SimpleITK do the same)
+    import struct
+
+    from fetal_t2mapping_tpu.core import Volume, nifti
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    p = str(tmp_path / "v.nii")
+    nifti.write(p, Volume(data, spacing=(1, 1, 1), origin=(0, 0, 0)))
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<f", raw, 112, 0.0)    # scl_slope = 0
+    struct.pack_into("<f", raw, 116, 99.0)   # stale intercept
+    open(p, "wb").write(bytes(raw))
+    back = nifti.read(p)
+    np.testing.assert_array_equal(np.asarray(back.data), data)
+
+
 def test_te_filename_has_no_spaces():
     acq = {"prj": "prj-003", "sub": "sub-001", "ses": "ses-01", "run": "run-80",
            "EchoTime": 0.080, "ImageOrientationPatientSTR": "ax"}
