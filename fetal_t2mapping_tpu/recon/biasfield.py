@@ -128,7 +128,7 @@ def n4_bias_correction(
     n_bins: int = 200,
     fwhm: float = 0.15,
     wiener_eps: float = 0.01,
-    ctrl_spacing_mm: float = 100.0,
+    ctrl_spacing_mm=100.0,
 ) -> BiasFieldResult:
     """N4-style multiplicative bias correction of one volume.
 
@@ -136,10 +136,12 @@ def n4_bias_correction(
         image: intensity volume (non-positive voxels are treated as
             background, as ITK's default foreground thresholding does).
         mask: optional foreground mask; default = image > 0.
-        n_iters: fixed iteration count (one resolution level).
+        n_iters: fixed iteration count PER resolution level.
         n_bins / fwhm / wiener_eps: histogram-sharpening knobs (N4 defaults).
-        ctrl_spacing_mm: smoothing scale in mm — plays the role of N4's
-            B-spline control-point spacing.
+        ctrl_spacing_mm: smoothing scale(s) in mm — plays the role of N4's
+            B-spline control-point spacing. A sequence runs ITK-style
+            coarse-to-fine multi-resolution (each level refines the
+            accumulated log-bias, e.g. (200, 100, 50)).
     """
     data = jnp.asarray(np.asarray(image.data, np.float32))
     if mask is not None:
@@ -147,20 +149,27 @@ def n4_bias_correction(
     else:
         mask_f = (data > 0).astype(jnp.float32)
     safe = jnp.maximum(data, 1e-6)
-    log_img = jnp.log(safe) * mask_f
+    v = jnp.log(safe) * mask_f
 
-    sigma_vox = tuple(float(ctrl_spacing_mm) / max(s, 1e-3) / _SQRT8LN2
-                      for s in image.spacing[::-1])   # data is (z, y, x)
-    v, bias_total, cvs = _n4_impl(
-        log_img, mask_f, n_iters=n_iters, n_bins=n_bins, fwhm=fwhm,
-        wiener_eps=wiener_eps, sigma_vox=sigma_vox)
+    spacings = ((float(ctrl_spacing_mm),) if np.isscalar(ctrl_spacing_mm)
+                else tuple(float(c) for c in ctrl_spacing_mm))
+    bias_total = jnp.zeros_like(v)
+    cv_levels = []
+    for ctrl in spacings:
+        sigma_vox = tuple(ctrl / max(s, 1e-3) / _SQRT8LN2
+                          for s in image.spacing[::-1])   # data is (z, y, x)
+        v, bias_lvl, cvs = _n4_impl(
+            v, mask_f, n_iters=n_iters, n_bins=n_bins, fwhm=fwhm,
+            wiener_eps=wiener_eps, sigma_vox=sigma_vox)
+        bias_total = bias_total + bias_lvl
+        cv_levels.append(np.asarray(cvs))
 
     field = np.asarray(jnp.exp(bias_total))
     corrected = np.asarray(jnp.where(mask_f > 0, jnp.exp(v), data))
     return BiasFieldResult(
         corrected=image.with_data(corrected),
         field=image.with_data(field),
-        field_cv=np.asarray(cvs),
+        field_cv=np.concatenate(cv_levels),
     )
 
 

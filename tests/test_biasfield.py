@@ -42,6 +42,18 @@ def test_n4_reduces_residual_field_error():
     assert res.field_cv.shape == (40,)
 
 
+def test_n4_multiresolution_refines():
+    vol, mask_vol, field, mask, tissue = _biased_volume(seed=3)
+    single = n4_bias_correction(vol, mask_vol, n_iters=20, ctrl_spacing_mm=100.0)
+    multi = n4_bias_correction(vol, mask_vol, n_iters=20,
+                               ctrl_spacing_mm=(200.0, 100.0, 60.0))
+    def err(res):
+        return np.std(np.log(
+            np.maximum(np.asarray(res.corrected.data)[mask], 1e-6) / tissue[mask]))
+    assert err(multi) <= err(single) * 1.05   # at least as good
+    assert multi.field_cv.shape == (60,)      # 20 iters x 3 levels
+
+
 def test_n4_nearly_identity_on_unbiased_image():
     vol, mask_vol, _, mask, _tis = _biased_volume(bias_strength=0.0)
     res = n4_bias_correction(vol, mask_vol, n_iters=10, ctrl_spacing_mm=60.0)
