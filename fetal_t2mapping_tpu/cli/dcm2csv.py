@@ -20,15 +20,20 @@ from ..utils.ingest import (
 
 
 def check_dicom(dicom_path: str) -> None:
-    """Dry run: list every file with its series description."""
+    """Dry run: list every file with its series description.
+
+    Walks recursively — the same traversal --process uses — so the dry run
+    and the real ingest agree about what will be converted."""
     print("Put localizers and failed acquisitions in a separate folder first. "
           "Acquired sequences found:")
-    for flnm in sorted(os.listdir(dicom_path)):
-        try:
-            ds = read_dcm(os.path.join(dicom_path, flnm))
-            print(flnm, ds.get("SeriesDescription", "?"))
-        except Exception as e:  # noqa: BLE001 — a listing tool keeps going
-            print(flnm, f"<not DICOM: {e}>")
+    for root, _, files in os.walk(dicom_path):
+        for flnm in sorted(files):
+            rel = os.path.relpath(os.path.join(root, flnm), dicom_path)
+            try:
+                ds = read_dcm(os.path.join(root, flnm))
+                print(rel, ds.get("SeriesDescription", "?"))
+            except Exception as e:  # noqa: BLE001 — a listing tool keeps going
+                print(rel, f"<not DICOM: {e}>")
 
 
 def process_dicom(dicom_path: str, bids_path: str, csv_path: str,
@@ -60,7 +65,15 @@ def main(argv=None):
     if not os.path.exists(args.path):
         print(f"Error: path does not exist: {args.path}", file=sys.stderr)
         return 1
-    root = args.path.split("dicom")[0]
+    # root = everything above the LAST '/dicom/' path component ('dicom'
+    # appearing inside other names, e.g. /home/medicomp, must not match)
+    parts = os.path.abspath(args.path).split(os.sep)
+    if "dicom" not in parts:
+        print(f"Error: path must contain a 'dicom' directory: {args.path}",
+              file=sys.stderr)
+        return 1
+    last = len(parts) - 1 - parts[::-1].index("dicom")
+    root = os.sep.join(parts[:last]) or os.sep
     csv_path = os.path.join(root, "dicom/logs/")
     dcm_log_path = os.path.join(root, "dicom/logs/log_dcms.csv")
     bids_path = os.path.join(root, "projects/")

@@ -59,6 +59,12 @@ class EchoStack:
         for v in list(recons[1:]) + list(masks):
             if v.shape != ref.shape:
                 raise ValueError(f"grid mismatch: {v.shape} vs {ref.shape}")
+            if not v.same_geometry(ref, tol=1e-3):
+                raise ValueError(
+                    "physical-grid mismatch between echo volumes (spacing/"
+                    "origin/direction differ): voxels would pair signals from "
+                    "different anatomical locations — resample to a common "
+                    "grid first")
         order = np.argsort(np.asarray(tes_ms))
         signal = np.stack([np.asarray(recons[i].data, dtype=np.float32) for i in order], axis=-1)
         union = np.zeros(ref.shape, dtype=bool)

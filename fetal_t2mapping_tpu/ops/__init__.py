@@ -3,6 +3,7 @@ from .morphology import (
     binary_erode,
     binary_closing,
     binary_opening,
+    build_slice_mask,
     fill_holes,
 )
 from .interp import sample_trilinear, sample_nearest
@@ -13,6 +14,7 @@ __all__ = [
     "binary_erode",
     "binary_closing",
     "binary_opening",
+    "build_slice_mask",
     "fill_holes",
     "sample_trilinear",
     "sample_nearest",

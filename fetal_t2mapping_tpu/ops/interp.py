@@ -66,13 +66,22 @@ def sample_trilinear(volume, coords, *, cval: float = 0.0):
 
 
 def sample_nearest(volume, coords, *, cval: float = 0.0):
-    """Nearest-neighbour sampling (labels/masks; FLIRT -interp nearestneighbour)."""
+    """Nearest-neighbour sampling (labels/masks; FLIRT -interp nearestneighbour).
+
+    Rounding is floor(x + 0.5) — scipy/ITK convention — NOT jnp.round's
+    half-to-even, which picks alternating neighbours on exact half-integer
+    grids (factor-of-2 resampling). The in-bounds envelope matches
+    sample_trilinear (continuous coords within [0, n-1]), so a label map
+    resampled 'nearest' never extends beyond the image resampled 'linear'."""
     vol = jnp.asarray(volume)
     c = jnp.asarray(coords)
     nz, ny, nx = vol.shape
-    iz = jnp.round(c[..., 0]).astype(jnp.int32)
-    iy = jnp.round(c[..., 1]).astype(jnp.int32)
-    ix = jnp.round(c[..., 2]).astype(jnp.int32)
-    inb = (iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx)
+    z, y, x = c[..., 0], c[..., 1], c[..., 2]
+    iz = jnp.floor(z + 0.5).astype(jnp.int32)
+    iy = jnp.floor(y + 0.5).astype(jnp.int32)
+    ix = jnp.floor(x + 0.5).astype(jnp.int32)
+    inb = (
+        (z >= 0) & (z <= nz - 1) & (y >= 0) & (y <= ny - 1) & (x >= 0) & (x <= nx - 1)
+    )
     v = _flat_gather(vol, jnp.clip(iz, 0, nz - 1), jnp.clip(iy, 0, ny - 1), jnp.clip(ix, 0, nx - 1))
     return jnp.where(inb, v, jnp.asarray(cval, v.dtype))

@@ -66,16 +66,20 @@ def process_t2maps(
                 te_found.append(round(echotime * 1000))
                 recon_paths.append(get_img_path(bids_path, acq, C.RECON_DIRNAME))
                 mask_paths.append(get_img_path(bids_path, acq, C.MASK_DIRNAME))
+            if sorted(te_found) != sorted(tes):
+                log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
+                            sub, ses, te_found, tes)
+                continue
+            missing = [p for p in recon_paths + mask_paths if not os.path.exists(p)]
+            if missing:
+                log.warning("derivatives missing for %s_%s (run the recon stage "
+                            "first): %s; skipped", sub, ses, missing[0])
+                continue
             with profiler.stage("t2map.load", items=2 * len(recon_paths)):
                 # the whole echo stack inflates in parallel (native thread pool)
                 loaded = nifti.read_batch(recon_paths + mask_paths)
             recons = loaded[: len(recon_paths)]
             masks = loaded[len(recon_paths):]
-
-            if sorted(te_found) != sorted(tes):
-                log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
-                            sub, ses, te_found, tes)
-                continue
             if phantom:
                 label_vol = nifti.read(
                     get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME))

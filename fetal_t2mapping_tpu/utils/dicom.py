@@ -60,12 +60,25 @@ _STOP_TAG = (0x7FE0, 0x0010)  # PixelData — parsed only when pixels requested
 # VRs of binary tags under implicit-VR-little-endian (otherwise they would
 # decode as text garbage; only the tags the converter needs numerically)
 _IMPLICIT_VRS = {
+    (0x0018, 0x0050): b"DS",   # SliceThickness
+    (0x0018, 0x0080): b"DS",   # RepetitionTime
+    (0x0018, 0x0081): b"DS",   # EchoTime
+    (0x0018, 0x0087): b"DS",   # MagneticFieldStrength
+    (0x0018, 0x0088): b"DS",   # SpacingBetweenSlices
+    (0x0018, 0x1314): b"DS",   # FlipAngle
+    (0x0020, 0x0011): b"IS",   # SeriesNumber
+    (0x0020, 0x0013): b"IS",   # InstanceNumber
+    (0x0020, 0x0032): b"DS",   # ImagePositionPatient
+    (0x0020, 0x0037): b"DS",   # ImageOrientationPatient
     (0x0028, 0x0002): b"US",
     (0x0028, 0x0008): b"IS",
     (0x0028, 0x0010): b"US",
     (0x0028, 0x0011): b"US",
+    (0x0028, 0x0030): b"DS",   # PixelSpacing
     (0x0028, 0x0100): b"US",
     (0x0028, 0x0103): b"US",
+    (0x0028, 0x1052): b"DS",   # RescaleIntercept
+    (0x0028, 0x1053): b"DS",   # RescaleSlope
 }
 
 
@@ -239,6 +252,18 @@ def read_dcm(path: str, with_pixels: bool = False) -> DicomDataset:
     explicit = ts != "1.2.840.10008.1.2"
     if ts is not None and ts.startswith("1.2.840.10008.1.2.2"):
         raise InvalidDicomError(f"{path}: big-endian transfer syntax unsupported")
+    if ts == "1.2.840.10008.1.2.1.99":
+        # deflated explicit VR LE: everything after the meta group is one
+        # raw DEFLATE stream (PS3.5 A.5)
+        import zlib
+
+        try:
+            inflated = zlib.decompress(bytes(buf[meta_end:]), wbits=-15)
+        except zlib.error as e:
+            raise InvalidDicomError(f"{path}: bad deflated stream: {e}") from e
+        buf = memoryview(inflated)
+        meta_end = 0
+        data = inflated
     elements, _ = _parse_elements(buf, meta_end, len(data), explicit,
                                   not with_pixels)
     return DicomDataset(elements)

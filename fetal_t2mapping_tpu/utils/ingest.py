@@ -65,8 +65,14 @@ def get_dcm_files(directory: str) -> List[str]:
 
 def build_dcm_entry(dcm_path: str, structured: bool = False) -> Dict:
     ds = read_dcm(dcm_path)
-    parts = dcm_path.split("/")
+    # absolute + normalized so the fixed component offsets below are stable
+    # for relative inputs ('.', 'session/file.dcm') and trailing slashes
+    parts = os.path.abspath(dcm_path).split(os.sep)
     date_idx, parent_idx = (-4, -3) if structured else (-3, -2)
+    if len(parts) < abs(date_idx):
+        raise InvalidDicomError(
+            f"{dcm_path}: path too shallow for the expected "
+            "dicom/YYYYMMDDHH/MMSS0000/file layout")
     return {
         "date": parts[date_idx],
         "dcm_parent": parts[parent_idx],

@@ -59,12 +59,16 @@ def set_metadata(csv_path: str, csvs: Sequence[str], low_field: bool) -> pd.Data
     ``csvs`` is either explicit CSV filenames or a single project name
     ('prj-002'/'prj-003'/'prj-004') selecting that study's shortlist.
     """
-    csvs = list(csvs)
-    if csvs and csvs[0].startswith("prj-"):
-        csvs = project_csvs(csvs[0], low_field)
-    if not csvs or not csvs[0].lower().endswith(".csv"):
+    expanded = []
+    for c in csvs:
+        if c.startswith("prj-"):
+            expanded.extend(project_csvs(c, low_field))
+        else:
+            expanded.append(c)
+    bad = [c for c in expanded if not c.lower().endswith(".csv")]
+    if not expanded or bad:
         raise ValueError(
-            f"{csvs!r} is neither metadata CSV log file(s) nor a known project "
-            "(prj-002 / prj-003 / prj-004)")
-    frames = [csv2df(os.path.join(csv_path, c)) for c in csvs]
+            f"{list(csvs)!r} is neither metadata CSV log file(s) nor known "
+            "project name(s) (prj-002 / prj-003 / prj-004)")
+    frames = [csv2df(os.path.join(csv_path, c)) for c in expanded]
     return pd.concat(frames, ignore_index=True)

@@ -84,10 +84,14 @@ class TestInterp:
 
     def test_nearest(self):
         vol = np.arange(27, dtype=np.int32).reshape(3, 3, 3)
-        pts = np.array([[0.4, 1.6, 2.4], [2.0, 0.0, 0.0]], np.float32)
-        out = np.asarray(sample_nearest(vol, pts))
-        assert out[0] == vol[0, 2, 2]
+        # x = 2.4 is outside the continuous support [0, 2]: cval, matching
+        # sample_trilinear's envelope (a NN-resampled mask must never extend
+        # beyond the linearly-resampled image)
+        pts = np.array([[0.4, 1.6, 2.4], [2.0, 0.0, 0.0], [0.4, 1.6, 1.6]], np.float32)
+        out = np.asarray(sample_nearest(vol, pts, cval=-1))
+        assert out[0] == -1
         assert out[1] == vol[2, 0, 0]
+        assert out[2] == vol[0, 2, 2]
 
     def test_gradient_flows_through_coords(self):
         import jax

@@ -63,3 +63,62 @@ def test_te_filename_has_no_spaces():
         p = get_img_path(d, acq, "recon_1mm")
         assert " " not in p
         assert "te-80_" in p
+
+
+def test_sample_nearest_envelope_matches_trilinear():
+    import jax.numpy as jnp
+
+    from fetal_t2mapping_tpu.ops.interp import sample_nearest, sample_trilinear
+
+    vol = np.arange(27, dtype=np.float32).reshape(3, 3, 3)
+    # z = 2.3 is outside the continuous support [0, 2]: both samplers -> cval
+    coords = jnp.asarray([[2.3, 1.0, 1.0], [1.5, 1.0, 1.0]])
+    tri = np.asarray(sample_trilinear(vol, coords, cval=-1.0))
+    nn = np.asarray(sample_nearest(vol, coords, cval=-1.0))
+    assert tri[0] == -1.0 and nn[0] == -1.0
+    assert nn[1] == vol[2, 1, 1]  # floor(1.5 + 0.5) = 2, scipy/ITK convention
+
+
+def test_dicom_deflated_transfer_syntax(tmp_path):
+    import struct
+    import zlib
+
+    from tests.test_dcm2nifti import _el_explicit
+    from fetal_t2mapping_tpu.utils.dicom import read_dcm
+
+    body = _el_explicit(0x0008, 0x103E, b"LO", b"deflated_series")
+    body += _el_explicit(0x0018, 0x0081, b"DS", b"114")
+    deflated = zlib.compress(body, 6)[2:-4]  # raw deflate (strip zlib wrapper)
+    ts = "1.2.840.10008.1.2.1.99".encode()
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", ts)
+    meta = _el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+    p = tmp_path / "defl.dcm"
+    p.write_bytes(b"\x00" * 128 + b"DICM" + meta + deflated)
+    ds = read_dcm(str(p))
+    assert ds.get("SeriesDescription") == "deflated_series"
+    assert ds.get("EchoTime") == 114
+
+
+def test_implicit_vr_numeric_tags_decode_as_numbers(tmp_path):
+    from tests.test_dcm2nifti import write_test_dicom
+    from fetal_t2mapping_tpu.utils.dicom import read_dcm
+
+    p = str(tmp_path / "i.dcm")
+    write_test_dicom(p, np.zeros((4, 4), np.uint16), ipp=(1.5, 2.5, 3.5),
+                     explicit=False)
+    ds = read_dcm(p)
+    assert ds.get("EchoTime") == 114.0
+    assert ds.get("ImagePositionPatient") == [1.5, 2.5, 3.5]
+    assert isinstance(ds.get("SliceThickness"), float)
+
+
+def test_echostack_rejects_geometry_mismatch():
+    from fetal_t2mapping_tpu.core import Volume
+    from fetal_t2mapping_tpu.core.stack import EchoStack
+
+    a = Volume(np.ones((4, 4, 4), np.float32), spacing=(1, 1, 1), origin=(0, 0, 0))
+    b = Volume(np.ones((4, 4, 4), np.float32), spacing=(1, 1, 1), origin=(5, 0, 0))
+    m = Volume(np.ones((4, 4, 4), np.uint8), spacing=(1, 1, 1), origin=(0, 0, 0))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="physical-grid mismatch"):
+        EchoStack.from_volumes([a, b], [m, m], [114.0, 202.0])
