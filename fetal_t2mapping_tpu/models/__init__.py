@@ -14,6 +14,7 @@ from .solver import (
     FitResult,
 )
 from .pallas_fit import fit_fused
+from .volume_fit import fit_volume, VolumeFitResult
 from .t2map import fit_stack, T2FitOutput
 
 __all__ = [
@@ -30,6 +31,8 @@ __all__ = [
     "fit_batch_twophase",
     "FitResult",
     "fit_fused",
+    "fit_volume",
+    "VolumeFitResult",
     "fit_stack",
     "T2FitOutput",
 ]

@@ -1,0 +1,133 @@
+"""Fully on-device masked volume fit: 4-D echo volume in, parameter maps out.
+
+The host-orchestrated path (models.t2map.fit_stack) gathers masked voxels
+with numpy, fits the batch, and scatters results back on host — fine for a
+file pipeline, but a production/serving deployment wants the whole thing as
+ONE jitted program: upload the echo volume once, compact the brain mask on
+device (the same cumsum + drop-scatter used for straggler compaction),
+run the fused Pallas fit on the compacted batch, and scatter the parameters
+into dense maps without anything crossing the host link.
+
+The mask compaction capacity is static (``mask_frac`` of the volume) so the
+program has fixed shapes: a brain mask is ~10-20%% of a head FOV (the
+reference fits only masked voxels for the same reason,
+run_t2mapping.py:421). Voxels beyond capacity are left unfitted (map = 0,
+converged = False) and counted in ``n_overflow``.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import prod as np_prod
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_fit import _fit_fused_impl, validate_fused_args
+from .solver import _tail_partition
+
+
+class VolumeFitResult(NamedTuple):
+    t2: jax.Array          # (Z, Y, X) float32, 0 outside the mask
+    k: jax.Array           # (Z, Y, X)
+    sigma: jax.Array       # (Z, Y, X); zeros for the 2-param model
+    fun: jax.Array         # (Z, Y, X) final objective
+    converged: jax.Array   # (Z, Y, X) bool
+    n_iter: jax.Array      # (Z, Y, X) int32
+    n_masked: jax.Array    # () int32 — voxels selected by the mask
+    n_overflow: jax.Array  # () int32 — masked voxels beyond capacity (unfitted)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
+    "gtol", "tail_frac", "no_prior", "mask_frac", "interpret"))
+def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
+                     max_iters, ftol, gtol, tail_frac, no_prior, mask_frac,
+                     interpret):
+    zyx = signal.shape[:3]
+    n = zyx[0] * zyx[1] * zyx[2]
+    t_axis = signal.shape[3]
+    flat_sig = signal.reshape(n, t_axis)
+    selected = mask.reshape(n) > 0
+
+    capacity = max(128, int(n * mask_frac) // 128 * 128)
+    # _tail_partition compacts the UNCONVERGED; masked voxels play that role
+    idx, n_sel = _tail_partition(~selected, capacity)
+    batch = flat_sig[idx]
+
+    res = _fit_fused_impl(
+        batch, model=model, te=te, lo=lo, hi=hi, guess=guess,
+        phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
+        tail_frac=tail_frac, no_prior=no_prior, interpret=interpret)
+
+    valid = jnp.arange(capacity) < n_sel
+    safe_idx = jnp.where(valid, idx, n)                # n -> dropped
+
+    def scatter(vals, fill, dtype):
+        out = jnp.full((n,), fill, dtype)
+        return out.at[safe_idx].set(vals.astype(dtype), mode="drop").reshape(zyx)
+
+    p = res.x.shape[1]
+    sigma = (res.x[:, 2] if p == 3 else jnp.zeros_like(res.x[:, 0]))
+    n_overflow = jnp.maximum(n_sel - jnp.sum(valid.astype(jnp.int32)), 0)
+    return VolumeFitResult(
+        t2=scatter(res.x[:, 1], 0.0, jnp.float32),
+        k=scatter(res.x[:, 0], 0.0, jnp.float32),
+        sigma=scatter(sigma, 0.0, jnp.float32),
+        fun=scatter(res.fun, 0.0, jnp.float32),
+        converged=scatter(res.converged, False, jnp.bool_),
+        n_iter=scatter(res.n_iter, 0, jnp.int32),
+        n_masked=n_sel,
+        n_overflow=n_overflow,
+    )
+
+
+def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
+               guess: Sequence[float] | None = None, phase1_iters: int = 10,
+               max_iters: int = 60, ftol: float = 1e-9, gtol: float = 0.0,
+               tail_frac: float = 0.0625, no_prior: bool = False,
+               mask_frac: float = 0.25,
+               interpret: bool | None = None) -> VolumeFitResult:
+    """Fit every masked voxel of a (Z, Y, X, T) echo volume on device.
+
+    One jitted program: device mask compaction -> fused Pallas fit ->
+    dense-map scatter. Nothing crosses the host link except the inputs and
+    whatever maps the caller chooses to download.
+
+    Args:
+        signal: (Z, Y, X, T) float32 echo volume (device or host array).
+        mask: (Z, Y, X) boolean / {0,1} mask.
+        te / lo / hi / model / guess / no_prior: as in pallas_fit.fit_fused.
+        mask_frac: static capacity for the masked-voxel buffer as a fraction
+            of the volume (brain masks are typically 0.1-0.2 of a head FOV).
+
+    Returns:
+        VolumeFitResult of dense device maps + (n_masked, n_overflow).
+    """
+    te_t, lo_t, hi_t, guess_t = validate_fused_args(model, te, lo, hi, guess,
+                                                    no_prior)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    signal = jnp.asarray(signal, jnp.float32)
+    if signal.ndim != 4:
+        raise ValueError(f"signal must be (Z, Y, X, T); got {signal.shape}")
+    mask = jnp.asarray(mask)
+    if mask.shape != signal.shape[:3]:
+        raise ValueError(f"mask {mask.shape} != volume grid {signal.shape[:3]}")
+    n = int(np_prod(signal.shape[:3]))
+    capacity = max(128, int(n * float(mask_frac)) // 128 * 128)
+    n_masked = int(jnp.sum(mask > 0))  # 4-byte sync; cheap vs a silent underfit
+    if n_masked > capacity:
+        import warnings
+
+        warnings.warn(
+            f"mask selects {n_masked} voxels but mask_frac={mask_frac} caps "
+            f"the fit buffer at {capacity}: {n_masked - capacity} voxels will "
+            f"be left unfitted (n_overflow); raise mask_frac to "
+            f">= {n_masked / n:.3f}", stacklevel=2)
+    return _fit_volume_impl(
+        signal, mask, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
+        phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
+        tail_frac=tail_frac, no_prior=no_prior, mask_frac=float(mask_frac),
+        interpret=bool(interpret))
