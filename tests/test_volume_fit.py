@@ -39,7 +39,8 @@ def test_fit_volume_masked_recovery():
 def test_fit_volume_overflow_reported():
     sig, mask, _, _ = _volume()
     mask[:] = True  # 100% masked against a 10% capacity
-    res = fit_volume(sig, mask, TES, LO, HI, max_iters=12, mask_frac=0.1)
+    with pytest.warns(UserWarning, match="left unfitted"):
+        res = fit_volume(sig, mask, TES, LO, HI, max_iters=12, mask_frac=0.1)
     assert int(res.n_overflow) > 0
     # fitted + unfitted partitions are consistent
     fitted = np.asarray(res.n_iter) > 0
