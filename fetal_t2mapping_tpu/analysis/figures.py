@@ -23,10 +23,28 @@ import matplotlib.pyplot as plt  # noqa: E402
 from .stats import paired_wilcoxon, pearson_regression  # noqa: E402
 
 
+def _aligned_pair(a, b):
+    """Align two samples for a PAIRED test. pandas Series pair on their index
+    (ROI/subject identity); plain arrays pair positionally only when equal
+    length — truncating to min(len) would silently pair the wrong rows."""
+    if isinstance(a, pd.Series) and isinstance(b, pd.Series):
+        common = a.index.intersection(b.index)
+        return a.loc[common].to_numpy(float), b.loc[common].to_numpy(float)
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    if len(a) != len(b):
+        return None, None
+    return a, b
+
+
 def cov_boxplot(groups: Dict[str, np.ndarray], out_path: str,
                 title: str = "Coefficient of variation",
                 annotate_wilcoxon: bool = True) -> str:
-    """Boxplot of CoV distributions per group with pairwise Wilcoxon p-values."""
+    """Boxplot of CoV distributions per group with pairwise Wilcoxon p-values.
+
+    Pass pandas Series (indexed by ROI/subject) to get identity-aligned
+    pairing; unequal-length plain arrays get no annotation for that pair.
+    """
     names = list(groups)
     data = [np.asarray(groups[n], float) for n in names]
     fig, ax = plt.subplots(figsize=(2 + 1.6 * len(names), 6))
@@ -40,9 +58,9 @@ def cov_boxplot(groups: Dict[str, np.ndarray], out_path: str,
         level = y + step
         for i in range(len(names)):
             for j in range(i + 1, len(names)):
-                n = min(len(data[i]), len(data[j]))
-                if n >= 3:
-                    res = paired_wilcoxon(data[i][:n], data[j][:n])
+                ai, bj = _aligned_pair(groups[names[i]], groups[names[j]])
+                if ai is not None and len(ai) >= 3:
+                    res = paired_wilcoxon(ai, bj)
                     ax.plot([i + 1, j + 1], [level, level], "k-", lw=0.8)
                     ax.text((i + j) / 2 + 1, level, f"p={res['pvalue']:.3g}",
                             ha="center", va="bottom", fontsize=8)

