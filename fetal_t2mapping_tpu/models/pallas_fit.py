@@ -22,7 +22,11 @@ last-iterate-on-failure) mirror models.solver._make_voxel_step.
 Two-phase driver ``fit_fused``: a short phase-1 pass over all voxels, then a
 fully on-device compaction (cumsum + drop-scatter, no host sync — a host
 round trip costs more than the whole fit) gathers the unconverged tail into
-a small buffer for the remaining iteration budget.
+a small buffer for the remaining iteration budget. The compaction+refit
+escalates for up to ``tail_rounds`` rounds (a lax.while_loop, so one kernel
+instance and zero launches when phase 1 converges everything); any voxels
+still beyond capacity are counted in ``FitResult.n_overflow`` rather than
+silently keeping phase-1 iterates unreported.
 """
 
 from __future__ import annotations
@@ -100,6 +104,31 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
 
     e0 = exps_at(t2)
     f = sse(k, e0)
+
+    # T2 grid-scan basin selection (same trick as _grid_start3): at 3 TEs
+    # the SSE in (k, T2) is multimodal — steep-decay voxels whose later
+    # echoes sit at the noise floor throw the log-linear init into a wrong
+    # basin (huge-T2 shelf or the (k_hi, t2_lo) corner) and Newton then
+    # CONVERGES there, far above curve_fit's minimum. The per-candidate
+    # exponentials are compile-time constants (static te x static grid), so
+    # the scan is pure fused multiply-adds — no transcendentals.
+    import math
+    t2_glo = max(lo_t2, 1.0)
+    t2_ghi = max(hi_t2, t2_glo + 1.0)
+    for gidx in range(12):
+        gfrac = 0.02 + 0.96 * gidx / 11.0
+        t2_g = math.exp(math.log(t2_glo)
+                        + gfrac * (math.log(t2_ghi) - math.log(t2_glo)))
+        e_g = [math.exp(-t / t2_g) for t in te]          # python floats
+        ee = sum(ei * ei for ei in e_g)
+        k_g = jnp.clip(sum(st * ei for st, ei in zip(s, e_g)) / ee, lo_k, hi_k)
+        f_g = sum(jnp.square(st - k_g * ei) for st, ei in zip(s, e_g)) * inv_t
+        better = f_g < f
+        k = jnp.where(better, k_g, k)
+        t2 = jnp.where(better, jnp.full_like(t2, t2_g), t2)
+        f = jnp.where(better, f_g, f)
+        e0 = [jnp.where(better, jnp.full_like(ec, eg), ec)
+              for eg, ec in zip(e_g, e0)]
 
     tol_k = 1e-8 * jnp.maximum(hi_k - lo_k, 1.0)   # tile when no_prior
     tol_t = 1e-8 * max(hi_t2 - lo_t2, 1.0)
@@ -326,6 +355,69 @@ def _grid_start3(s, te, lo, hi, n_grid=12):
     return (best_k, jnp.clip(best_t2, lo[1], hi[1]), jnp.clip(sg, lo[2], hi[2]))
 
 
+def _interp_start_gr(s, te, lo, hi, guess):
+    """Exact 0-dof interpolation start for gaussian_rician at T == 3.
+
+    With 3 echoes and 3 parameters the model s_i^2 = k^2 e^(-2 te_i/T2) + sg^2
+    interpolates the data EXACTLY whenever s^2 is strictly decreasing and the
+    implied sg^2 is nonnegative — and that interpolant (objective exactly 0)
+    is the global minimum the reference's scipy path reaches while a damped
+    Newton from a generic start crawls the flat sigma ridge for its whole
+    budget. Eliminating sg: t2 solves
+        (s1^2-s2^2) (E2(t2)-E3(t2)) = (s2^2-s3^2) (E1(t2)-E2(t2)),
+    E_i = e^(-2 te_i / t2): bracket on a STATIC log grid (E_i become
+    compile-time constants -> pure FMAs), then geometric bisection (3 exps
+    per step). Voxels with no valid interpolant fall back to the protocol
+    ``guess`` — this start replaces the plain-guess branch, never weakens it.
+    """
+    import math
+    sq = [st * st for st in s]
+    d12 = sq[0] - sq[1]
+    d23 = sq[1] - sq[2]
+
+    def g_of(E):
+        return d12 * (E[1] - E[2]) - d23 * (E[0] - E[1])
+
+    t2_a = max(lo[1], 1.0)
+    t2_b = max(hi[1], t2_a * (1.0 + 1e-6))
+    n_grid = 16
+    ts = [math.exp(math.log(t2_a) + i / (n_grid - 1.0)
+                   * (math.log(t2_b) - math.log(t2_a))) for i in range(n_grid)]
+    # static-grid E_i are python floats: g on the grid is pure FMA tiles
+    gs = [g_of([math.exp(-2.0 * t / tv) for t in te]) for tv in ts]
+    a = jnp.full_like(s[0], ts[0])
+    b = jnp.full_like(s[0], ts[-1])
+    ga = gs[0]
+    found = jnp.zeros_like(s[0], bool)
+    for i in range(n_grid - 1):
+        cross = (gs[i] * gs[i + 1] <= 0.0) & ~found
+        a = jnp.where(cross, ts[i], a)
+        b = jnp.where(cross, ts[i + 1], b)
+        ga = jnp.where(cross, gs[i], ga)
+        found = found | cross
+    for _ in range(16):  # geometric bisection: rel err ~(b/a)^(2^-16)
+        m = jnp.sqrt(a * b)
+        gm = g_of([jnp.exp(-2.0 * t / m) for t in te])
+        same = (gm > 0.0) == (ga > 0.0)
+        a = jnp.where(same, m, a)
+        ga = jnp.where(same, gm, ga)
+        b = jnp.where(same, b, m)
+    t2r = jnp.sqrt(a * b)
+    E = [jnp.exp(-2.0 * t / t2r) for t in te]
+    denom = E[0] - E[1]
+    k2 = d12 / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+    sg2 = sq[2] - k2 * E[2]
+    k = jnp.sqrt(jnp.maximum(k2, 0.0))
+    sg = jnp.sqrt(jnp.maximum(sg2, 0.0))
+    valid = (found & (d12 > 0) & (d23 > 0) & (k2 > 0) & (sg2 >= 0)
+             & (k >= lo[0]) & (k <= hi[0]) & (sg >= lo[2]) & (sg <= hi[2]))
+    fb = [jnp.full_like(s[0], min(max(gi, li), hi_i))
+          for gi, li, hi_i in zip(guess, lo, hi)]
+    return (jnp.where(valid, k, fb[0]),
+            jnp.where(valid, t2r, fb[1]),
+            jnp.where(valid, sg, fb[2]))
+
+
 def _kernel3_body(model, te, lo, hi, guess, max_iters, ftol, gtol,
                   sig_ref, params_ref, stats_ref):
     """One (start, block) grid cell: one Newton run of the 3-start multistart.
@@ -341,11 +433,18 @@ def _kernel3_body(model, te, lo, hi, guess, max_iters, ftol, gtol,
     shape = s[0].shape
     start_idx = pl.program_id(0)
 
+    if model == "gaussian_rician" and T == 3:
+        # 0 dof: the exact interpolant (objective 0) exists for most voxels
+        # and IS the reference scipy path's answer; start there when valid,
+        # protocol guess otherwise (see _interp_start_gr)
+        third = lambda: _interp_start_gr(s, te, lo, hi, guess)
+    else:
+        third = lambda: tuple(jnp.full(shape, min(max(gi, li), hi_i), jnp.float32)
+                              for gi, li, hi_i in zip(guess, lo, hi))
     x0_branches = [
         lambda: _loglin_start3(s, te, lo, hi),
         lambda: _grid_start3(s, te, lo, hi),
-        lambda: tuple(jnp.full(shape, min(max(gi, li), hi_i), jnp.float32)
-                      for gi, li, hi_i in zip(guess, lo, hi)),
+        third,
     ]
     x0 = lax.switch(start_idx, x0_branches)
     x, f, convf, nit = _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0)
@@ -476,9 +575,10 @@ def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
-    "gtol", "tail_frac", "no_prior", "interpret"))
+    "gtol", "tail_frac", "no_prior", "tail_rounds", "interpret"))
 def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
-                    max_iters, ftol, gtol, tail_frac, no_prior, interpret):
+                    max_iters, ftol, gtol, tail_frac, no_prior, interpret,
+                    tail_rounds=2):
     n = signal.shape[0]
     tiles, n_pad = _to_tiles(signal, n)
     params1, stats1 = _run_tiles(
@@ -494,14 +594,30 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     conv1 = conv1_v > 0.5
 
     capacity = max(_LANE, int(n_pad * tail_frac) // _LANE * _LANE)
-    tail_idx, n_tail = _tail_partition(conv1, capacity)
 
-    def phase2(_):
-        # Re-fit the compacted tail with the remaining budget. Re-running
-        # init on the gathered raw signal is free (one fused pass) and keeps
-        # the kernel single-entry; the tail restarts from the same x0 and
-        # re-treads phase 1's steps deterministically before going further.
-        # no_prior per-voxel bounds travel with the gathered signal rows.
+    # Straggler escalation: up to ``tail_rounds`` compaction+refit rounds,
+    # each handling one capacity-sized buffer of the not-yet-refit
+    # unconverged voxels (the partition is stable, so round r covers
+    # unhandled ranks [0, capacity) of what remains). A lax.while_loop keeps
+    # ONE refit-kernel instance in the HLO (the 3-param Mosaic kernels take
+    # minutes of remote compile each) and exits as soon as nothing is left —
+    # on clean clinical data phase 1 converges everything and no refit
+    # kernel ever launches. Voxels still unhandled after the last round keep
+    # phase-1 results and are COUNTED in n_overflow instead of being
+    # silently dropped.
+    def refit_cond(state):
+        r, _, _, _, _, handled = state
+        return (r < tail_rounds) & jnp.any(~handled)
+
+    def refit_round(state):
+        # Re-fit one capacity-sized buffer of unhandled voxels with the full
+        # budget. Re-running init on the gathered raw signal is free (one
+        # fused pass) and keeps the kernel single-entry; a tail voxel
+        # restarts from the same x0 and re-treads phase 1's steps
+        # deterministically before going further. no_prior per-voxel bounds
+        # travel with the gathered signal rows.
+        r, x, fun, conv, nit, handled = state
+        tail_idx, n_tail = _tail_partition(handled, capacity)
         sig_tail = signal[tail_idx]
         tiles2, _ = _to_tiles(sig_tail, capacity)
         params2, stats2 = _run_tiles(
@@ -513,21 +629,23 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
 
         valid = jnp.arange(capacity) < n_tail
         safe_idx = jnp.where(valid, tail_idx, n)       # n = out of range -> drop
-        x = x1.at[safe_idx].set(x2, mode="drop")
-        fun = fun1_v.at[safe_idx].set(st2[0, :capacity], mode="drop")
-        conv = conv1.at[safe_idx].set(st2[1, :capacity] > 0.5, mode="drop")
-        nit = nit1_v.astype(jnp.int32).at[safe_idx].set(
-            st2[2, :capacity].astype(jnp.int32), mode="drop")
-        # voxels beyond capacity (n_tail > capacity) keep phase-1 results
-        return FitResult(x=x, fun=fun, converged=conv, n_iter=nit)
+        x = x.at[safe_idx].set(x2, mode="drop")
+        fun = fun.at[safe_idx].set(st2[0, :capacity], mode="drop")
+        conv = conv.at[safe_idx].set(st2[1, :capacity] > 0.5, mode="drop")
+        nit = nit.at[safe_idx].set(st2[2, :capacity].astype(jnp.int32),
+                                   mode="drop")
+        # a refit voxel got the full budget whether or not it converged:
+        # it never enters another round
+        handled = handled.at[safe_idx].set(True, mode="drop")
+        return r + 1, x, fun, conv, nit, handled
 
-    def phase1_only(_):
-        return FitResult(x=x1, fun=fun1_v, converged=conv1,
-                         n_iter=nit1_v.astype(jnp.int32))
-
-    # everything converged in phase 1 (common on clean clinical data):
-    # skip the gather + second kernel + scatter entirely
-    return lax.cond(n_tail > 0, phase2, phase1_only, operand=None)
+    state0 = (jnp.asarray(0, jnp.int32), x1, fun1_v, conv1,
+              nit1_v.astype(jnp.int32), conv1)
+    _, x, fun, conv, nit, handled = lax.while_loop(
+        refit_cond, refit_round, state0)
+    n_overflow = jnp.sum(~handled).astype(jnp.int32)
+    return FitResult(x=x, fun=fun, converged=conv, n_iter=nit,
+                     n_overflow=n_overflow)
 
 
 def validate_fused_args(model, te, lo, hi, guess, no_prior):
@@ -558,7 +676,7 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               guess: Sequence[float] | None = None,
               phase1_iters: int = 10, max_iters: int = 60, ftol: float = 1e-9,
               gtol: float = 0.0, tail_frac: float = 0.0625,
-              no_prior: bool = False,
+              tail_rounds: int = 2, no_prior: bool = False,
               interpret: bool | None = None) -> FitResult:
     """Two-phase fused-kernel fit of every voxel in the batch.
 
@@ -577,6 +695,9 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
         max_iters: total budget for the compacted unconverged tail.
         gtol: projected-gradient stopping threshold (0 = disabled).
         tail_frac: tail buffer capacity as a fraction of N.
+        tail_rounds: max straggler compaction+refit rounds (each covers one
+            capacity-sized buffer); unconverged voxels beyond all rounds
+            keep phase-1 results and are counted in ``FitResult.n_overflow``.
         no_prior: gaussian only — per-voxel k lower bound = the voxel's
             signal at the shortest TE (reference run_t2mapping.py:243-245);
             pass the scalar no-prior box in lo/hi (k upper 10000, T2 10..2000).
@@ -594,7 +715,8 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
     result = _fit_fused_impl(
         signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
-        tail_frac=tail_frac, no_prior=no_prior, interpret=bool(interpret))
+        tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
+        interpret=bool(interpret))
     # Drain the pipeline with a scalar host read before returning: on a
     # tunneled chip, transferring from a still-in-flight pallas result can
     # stall the transport for minutes (observed), while a 4-byte scalar sync

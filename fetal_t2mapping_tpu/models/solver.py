@@ -53,6 +53,10 @@ class FitResult(NamedTuple):
     fun: jax.Array        # (N,) final objective value
     converged: jax.Array  # (N,) bool
     n_iter: jax.Array     # (N,) int32 accepted-step count
+    # () int32 — unconverged voxels that never received a phase-2 refit slot
+    # (straggler-buffer capacity exhausted after all escalation rounds);
+    # None for single-phase paths where every voxel gets the full budget
+    n_overflow: "jax.Array | None" = None
 
 
 def _solve_posdef_small(A, b):
@@ -254,7 +258,9 @@ def fit_batch_twophase(signal, te, x0, lo, hi, *, model: str,
     fun = r1.fun.at[safe_idx].set(r2.fun, mode="drop")
     conv = r1.converged.at[safe_idx].set(r2.converged, mode="drop")
     nit = r1.n_iter.at[safe_idx].add(r2.n_iter, mode="drop")
-    return FitResult(x=x, fun=fun, converged=conv, n_iter=nit)
+    n_overflow = jnp.maximum(n_tail - capacity, 0).astype(jnp.int32)
+    return FitResult(x=x, fun=fun, converged=conv, n_iter=nit,
+                     n_overflow=n_overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "max_iters", "ftol", "gtol"))

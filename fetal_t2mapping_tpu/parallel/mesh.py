@@ -69,15 +69,16 @@ def fit_batch_sharded(signal, te, x0, lo, hi, mesh: Mesh, **fit_kwargs):
 def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian",
                       guess=None, phase1_iters: int = 10, max_iters: int = 60,
                       ftol: float = 1e-9, gtol: float = 0.0,
-                      tail_frac: float = 0.0625, no_prior: bool = False,
-                      interpret=None):
+                      tail_frac: float = 0.0625, tail_rounds: int = 2,
+                      no_prior: bool = False, interpret=None):
     """Multi-chip fused-kernel fit: shard_map of the whole two-phase pipeline.
 
-    The fit is voxel-elementwise and the straggler compaction is done
-    PER SHARD, so the entire solve — Pallas kernels, tail partition, refit,
-    merge — runs with ZERO inter-chip communication; XLA inserts collectives
-    only for whatever cross-shard reduction the caller computes afterwards.
-    The leading axis must be divisible by the mesh size (pad_to_devices).
+    The fit is voxel-elementwise and the straggler compaction/escalation is
+    done PER SHARD, so the entire solve — Pallas kernels, tail partition,
+    refit rounds, merge — runs with zero inter-chip communication except a
+    single scalar ``psum`` folding the per-shard capacity-overflow counts
+    into one global ``n_overflow``. The leading axis must be divisible by
+    the mesh size (pad_to_devices).
     """
     import functools
 
@@ -90,16 +91,22 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
         raise ValueError(f"voxel count {n} not divisible by mesh size {mesh.devices.size}")
     te_t, lo_t, hi_t, guess_t = validate_fused_args(model, te, lo, hi, guess,
                                                     no_prior)
-    fn = functools.partial(
+    impl = functools.partial(
         _fit_fused_impl, model=model, te=te_t,
         lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
-        tail_frac=tail_frac, no_prior=no_prior, interpret=bool(interpret))
+        tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
+        interpret=bool(interpret))
 
     from ..models.solver import FitResult
 
+    def fn(sig_shard):
+        r = impl(sig_shard)
+        return r._replace(n_overflow=jax.lax.psum(r.n_overflow, VOXEL_AXIS))
+
     out_specs = FitResult(x=P(VOXEL_AXIS, None), fun=P(VOXEL_AXIS),
-                          converged=P(VOXEL_AXIS), n_iter=P(VOXEL_AXIS))
+                          converged=P(VOXEL_AXIS), n_iter=P(VOXEL_AXIS),
+                          n_overflow=P())
     sharded = jax.shard_map(fn, mesh=mesh, in_specs=(P(VOXEL_AXIS, None),),
                             out_specs=out_specs, check_vma=False)
     signal = shard_voxels(np.asarray(signal, np.float32), mesh)

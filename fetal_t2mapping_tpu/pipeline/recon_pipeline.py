@@ -242,7 +242,11 @@ def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
             log.warning("BET reference missing: %s", bet_path)
             continue
         bet = nifti.read(bet_path)
-        reg = register_affine(bet, mni)
+        # cross-contrast pair (MNI T1 template -> subject T2): correlation
+        # ratio, FLIRT's default cost for this exact step (reference
+        # utils/qmri_utils.py:1027-1037); NCC assumes a linear intensity
+        # relationship T1/T2 do not have
+        reg = register_affine(bet, mni, metric="cr")
         mni_dir = mk_bids_dir(bids_path, prj, "derivatives", C.MNI_DIRNAME, sub, ses, "anat")
         jhu_dir = mk_bids_dir(bids_path, prj, "derivatives", C.JHU_DIRNAME, sub, ses, "anat")
         ho_dir = mk_bids_dir(bids_path, prj, "derivatives", C.HO_DIRNAME, sub, ses, "anat")

@@ -217,3 +217,36 @@ def test_twophase_on_device_matches_single_phase():
     assert rel.max() < 1e-3
     # twophase must not silently lose voxels
     assert np.asarray(r2.converged).mean() >= np.asarray(r1.converged).mean() - 0.01
+
+
+def test_tail_escalation_covers_overflow():
+    # VERDICT r1 weak #4: voxels beyond the phase-2 buffer silently kept
+    # phase-1 results. phase1_iters=0 leaves ALL voxels unconverged; a tiny
+    # tail buffer (128 of 512) must escalate across rounds and report any
+    # remainder in n_overflow instead of dropping it.
+    sig, k, t2 = _synthetic(512, noise=0.0)
+    tail_frac = 128 / 1024  # n pads to 1024 tile rows -> capacity 128
+
+    r1 = fit_fused(sig, TES, LO, HI, phase1_iters=0, max_iters=40,
+                   tail_frac=tail_frac, tail_rounds=1)
+    assert int(r1.n_overflow) == 512 - 128
+    assert int(np.asarray(r1.converged).sum()) == 128
+
+    r4 = fit_fused(sig, TES, LO, HI, phase1_iters=0, max_iters=40,
+                   tail_frac=tail_frac, tail_rounds=4)
+    assert int(r4.n_overflow) == 0
+    assert np.asarray(r4.converged).all()
+    rel = np.abs(np.asarray(r4.x)[:, 1] - t2) / t2
+    assert rel.max() < 1e-3
+
+    # escalated == single big-buffer fit, voxel for voxel
+    r_ref = fit_fused(sig, TES, LO, HI, phase1_iters=0, max_iters=40,
+                      tail_frac=1.0, tail_rounds=1)
+    np.testing.assert_allclose(np.asarray(r4.x), np.asarray(r_ref.x),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_default_has_zero_overflow():
+    sig, _, _ = _synthetic(2048, noise=4.0, seed=3)
+    r = fit_fused(sig, TES, LO, HI)
+    assert int(r.n_overflow) == 0

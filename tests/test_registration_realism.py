@@ -1,0 +1,192 @@
+"""Registration under realistic conditions (VERDICT r1 items 2+3).
+
+Round-1 registration tests only self-registered a clean volume under small
+motion. These cover what clinical HASTE data actually throws at the engine:
+
+- cross-contrast pairs (MNI T1 template vs subject T2): monotone-DECREASING
+  intensity relationships that break NCC — handled by the 'mi' (Parzen
+  mutual information) and 'cr' (correlation ratio, FLIRT's default cost)
+  metrics (reference utils/qmri_utils.py:1027-1037);
+- Rician noise on both volumes;
+- 10 degree / 10 mm initial misalignment;
+- anisotropic acquisition grids (thick HASTE slices vs 1 mm recon);
+- per-TE contrast drift (different tissues decay differently between
+  echoes, so echo-to-echo registration sees per-structure amplitude
+  changes, reference utils/qmri_utils.py:378-383).
+
+All tests assert transform recovery (rotation / translation error), not
+just metric improvement.
+"""
+
+import numpy as np
+import pytest
+
+from fetal_t2mapping_tpu.core.volume import Volume
+from fetal_t2mapping_tpu.recon.registration import register_rigid
+from fetal_t2mapping_tpu.recon.resample import resample_to_reference, resample_volume
+
+REG = dict(levels=(2, 1), sigmas=(1.0, 0.0), iters=(120, 60), lr=0.8)
+
+
+def _tissue_blobs(shape=(32, 32, 32), spacing=(2.0, 2.0, 2.0), seed=0,
+                  n_blobs=30):
+    """Blob image + per-blob component images (for per-TE contrast drift).
+
+    Many SMALL blobs, not a few fat ones: histogram metrics (MI/CR) see
+    only the intensity joint distribution, and a scene of a few smooth
+    Gaussians has a nearly rotation-invariant histogram (observed: MI flat
+    within +-0.05 rad there). Real brain images have fine structure; the
+    fixture must too."""
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape
+    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing="ij")
+    comps = []
+    for _ in range(n_blobs):
+        cz, cy, cx = rng.uniform(6, np.array(shape) - 6)
+        s = rng.uniform(1.2, 2.5)
+        comps.append(np.exp(-(((zz - cz) ** 2 + (yy - cy) ** 2
+                               + (xx - cx) ** 2) / (2 * s * s))).astype(np.float32))
+    return comps, spacing
+
+
+def _vol(data, spacing=(2.0, 2.0, 2.0)):
+    return Volume(np.asarray(data, np.float32), spacing=spacing,
+                  origin=(-30.0, -30.0, -30.0))
+
+
+def _rigid_world_matrix(rx, ry, rz, t, center):
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    R = Rz @ Rx @ Ry
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = np.asarray(center) - R @ np.asarray(center) + np.asarray(t)
+    return T
+
+
+def _recovery_errors(T_true, T_est, center):
+    """(rotation error rad, translation error mm) of T_est vs T_true^-1."""
+    comp = T_true @ T_est
+    R = comp[:3, :3]
+    rot_err = np.arccos(np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0))
+    t_err = np.abs(comp[:3, 3] - center + R @ center).max()
+    return rot_err, t_err
+
+
+def _rician(data, sigma, rng):
+    n1 = rng.normal(0, sigma, data.shape).astype(np.float32)
+    n2 = rng.normal(0, sigma, data.shape).astype(np.float32)
+    return np.sqrt((data + n1) ** 2 + n2 ** 2).astype(np.float32)
+
+
+def _cross_contrast_pair(seed=7):
+    """T1-like and T2-like images of the SAME scene: per-tissue intensities
+    REORDER between the two (bright-in-T1 tissues dark-in-T2 and vice
+    versa, a non-monotone relationship), air background dark in both —
+    which is what an MNI-T1-template vs subject-T2 pair actually looks
+    like. NCC's linear-intensity assumption breaks; MI/CR must not."""
+    rng = np.random.default_rng(seed + 1)
+    comps, spacing = _tissue_blobs(seed=seed)
+    a_t1 = rng.uniform(0.5, 1.5, len(comps))
+    a_t2 = rng.permutation(a_t1)                          # reordered contrast
+    t1 = sum(c * a * 100.0 for c, a in zip(comps, a_t1))
+    t2 = sum(c * a * 100.0 for c, a in zip(comps, a_t2))
+    return _vol(t1, spacing), _vol(t2, spacing)
+
+
+@pytest.mark.parametrize("metric", ["mi", "cr"])
+def test_cross_contrast_recovery(metric):
+    """Same geometry, per-tissue-reordered intensities: the histogram
+    metrics must recover the transform to <0.02 rad / <1 mm
+    (VERDICT r1 item 2 'Done' criterion)."""
+    fixed, t2_like = _cross_contrast_pair()
+    center = np.asarray(fixed.center_world())
+    T_true = _rigid_world_matrix(0.06, -0.05, 0.04, [4.0, -3.0, 3.0], center)
+    moving = resample_to_reference(t2_like, t2_like, transform=T_true)
+
+    reg = register_rigid(fixed, moving, metric=metric, **REG)
+    rot_err, t_err = _recovery_errors(T_true, reg.matrix, center)
+    assert rot_err < 0.02, f"{metric}: rotation error {rot_err:.4f} rad"
+    assert t_err < 1.0, f"{metric}: translation error {t_err:.2f} mm"
+
+
+def test_ncc_fails_on_anticorrelated_contrast():
+    """Documents WHY the histogram metrics exist: when the intensity
+    relationship is globally DECREASING (anticorrelated pair), NCC is
+    driven away from alignment while MI still recovers it."""
+    comps, spacing = _tissue_blobs(seed=7)
+    t1 = sum(comps) * 100.0
+    fixed = _vol(t1, spacing)
+    inverted = _vol(t1.max() - t1, spacing)               # bright background
+    center = np.asarray(fixed.center_world())
+    T_true = _rigid_world_matrix(0.06, -0.05, 0.04, [4.0, -3.0, 3.0], center)
+    moving = resample_to_reference(inverted, inverted, transform=T_true)
+    reg = register_rigid(fixed, moving, metric="ncc", **REG)
+    rot_err, t_err = _recovery_errors(T_true, reg.matrix, center)
+    assert rot_err > 0.02 or t_err > 1.0  # NCC does NOT recover it
+
+
+def test_rician_noise_large_offset():
+    """Rician noise on both volumes + 10 degree / 10 mm initial offset."""
+    rng = np.random.default_rng(3)
+    comps, spacing = _tissue_blobs(seed=11)
+    clean = sum(comps) * 100.0
+    fixed = _vol(_rician(clean, 4.0, rng), spacing)
+    center = np.asarray(fixed.center_world())
+    T_true = _rigid_world_matrix(0.10, -0.10, 0.08, [6.0, -5.0, 5.0], center)
+    # (0.10, -0.10, 0.08) compose to ~10 degrees total rotation
+    moved = resample_to_reference(_vol(clean, spacing), _vol(clean, spacing),
+                                  transform=T_true)
+    moving = _vol(_rician(moved.data, 4.0, rng), spacing)
+
+    reg = register_rigid(fixed, moving, **REG)
+    rot_err, t_err = _recovery_errors(T_true, reg.matrix, center)
+    assert rot_err < 0.02, f"rotation error {rot_err:.4f} rad"
+    assert t_err < 1.0, f"translation error {t_err:.2f} mm"
+
+
+def test_anisotropic_haste_slices():
+    """Moving volume on a thick-slice grid (2x2x8 mm, HASTE-like) registered
+    onto the isotropic fixed grid."""
+    comps, spacing = _tissue_blobs(seed=13)
+    clean = sum(comps) * 100.0
+    fixed = _vol(clean, spacing)
+    center = np.asarray(fixed.center_world())
+    T_true = _rigid_world_matrix(0.05, 0.06, -0.04, [4.0, 3.0, -3.0], center)
+    moved = resample_to_reference(fixed, fixed, transform=T_true)
+    # resample the moved scene onto a thick-slice grid: 4x fewer z samples
+    thick = resample_volume(moved, (2.0, 2.0, 8.0))
+
+    reg = register_rigid(fixed, thick, **REG)
+    rot_err, t_err = _recovery_errors(T_true, reg.matrix, center)
+    assert rot_err < 0.03, f"rotation error {rot_err:.4f} rad"
+    assert t_err < 1.5, f"translation error {t_err:.2f} mm"
+
+
+def test_per_te_contrast_drift():
+    """Echo-to-echo registration: each structure decays with its own T2, so
+    the second echo is NOT a scalar multiple of the first (per-structure
+    amplitude drift). Mirrors the reference's cross-TE registration
+    (utils/qmri_utils.py:378-383)."""
+    rng = np.random.default_rng(5)
+    comps, spacing = _tissue_blobs(seed=17)
+    t2s = rng.uniform(60.0, 400.0, len(comps))
+    te1, te2 = 114.0, 299.0
+    img1 = sum(c * 1000.0 * np.exp(-te1 / t) for c, t in zip(comps, t2s))
+    img2 = sum(c * 1000.0 * np.exp(-te2 / t) for c, t in zip(comps, t2s))
+    fixed = _vol(_rician(img1, 2.0, rng), spacing)
+    center = np.asarray(fixed.center_world())
+    T_true = _rigid_world_matrix(-0.05, 0.04, 0.05, [-3.0, 4.0, 3.0], center)
+    moved = resample_to_reference(_vol(img2, spacing), _vol(img2, spacing),
+                                  transform=T_true)
+    moving = _vol(_rician(moved.data, 2.0, rng), spacing)
+
+    reg = register_rigid(fixed, moving, metric="mi", **REG)
+    rot_err, t_err = _recovery_errors(T_true, reg.matrix, center)
+    assert rot_err < 0.02, f"rotation error {rot_err:.4f} rad"
+    assert t_err < 1.0, f"translation error {t_err:.2f} mm"
