@@ -1,0 +1,169 @@
+"""Convert released SynthSeg Keras weights (.h5) to the unet3d .npz manifest.
+
+The reference reaches SynthSeg through FreeSurfer's ``mri_synthseg`` binary
+(reference utils/qmri_utils.py:424-466). The published model weights live in
+the FreeSurfer tree as a Keras HDF5 file, e.g.::
+
+    $FREESURFER_HOME/models/synthseg_1.0.h5
+
+(also distributed from the SynthSeg repository, Billot et al. 2023). This
+converter maps that file onto the parameter tree ``labels.unet3d`` consumes,
+so ``SynthSegRunner(mode='jax')`` can run the segmentation on the TPU's MXU
+instead of shelling out to a CPU PyTorch binary::
+
+    python -m fetal_t2mapping_tpu.labels.convert_synthseg \
+        $FREESURFER_HOME/models/synthseg_1.0.h5 synthseg_1.0.npz
+    FT2_SYNTHSEG_WEIGHTS=synthseg_1.0.npz  # picked up by SynthSegRunner
+
+Layer-name mapping (SynthSeg builds its U-Net with neuron's ``unet``; layer
+names follow its ``unet_conv_downarm_{level}_{conv}`` /
+``unet_conv_uparm_{level}_{conv}`` / ``unet_likelihood`` convention; Keras
+Conv3D kernels are stored (kz, ky, kx, c_in, c_out) — the layout unet3d
+uses directly):
+
+    unet_conv_downarm_L_I -> encL_I      (encoder, level L, conv I)
+    unet_conv_uparm_*_I   -> dec{...}_I  (decoder; uparm groups sorted by
+                                          their level index map onto decoder
+                                          levels deepest-first)
+    unet_likelihood       -> head        (1x1x1 conv to label logits)
+
+The converter is deliberately defensive: it discovers every kernel/bias
+dataset in the file regardless of the exact group nesting, prints the
+mapping it inferred, and cross-checks every shape against the architecture
+implied by the weights themselves (see unet3d.config_from_params). The
+numerical correctness of the conversion + forward pass is pinned by
+tests/test_synthseg_weights.py against an independent PyTorch
+implementation on a fixture weight file written in the same Keras layout.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+_DOWN = re.compile(r"conv_downarm_(\d+)_(\d+)")
+_UP = re.compile(r"conv_uparm_(\d+)_(\d+)")
+_HEAD = re.compile(r"likelihood")
+
+
+def _collect_conv_weights(h5file) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Walk the HDF5 tree; return {layer_name: (kernel, bias)}.
+
+    Handles both Keras layouts: datasets named ``.../kernel:0`` under a
+    layer group, and plain ``kernel``/``bias`` names.
+    """
+    import h5py
+
+    found: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def visit(name, obj):
+        if not isinstance(obj, h5py.Dataset):
+            return
+        leaf = name.rsplit("/", 1)[-1].split(":")[0]
+        if leaf not in ("kernel", "bias"):
+            return
+        layer = name.rsplit("/", 2)[-2] if "/" in name else name
+        # the layer NAME is the path component carrying the unet tag
+        for part in reversed(name.split("/")):
+            if _DOWN.search(part) or _UP.search(part) or _HEAD.search(part):
+                layer = part
+                break
+        found.setdefault(layer, {})[leaf] = np.asarray(obj, np.float32)
+
+    h5file.visititems(visit)
+    out = {}
+    for layer, d in found.items():
+        if "kernel" in d:
+            out[layer] = (d["kernel"], d.get("bias"))
+    return out
+
+
+def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, np.ndarray]:
+    """Read a SynthSeg Keras .h5, write the unet3d .npz manifest."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        layers = _collect_conv_weights(f)
+    if not layers:
+        raise ValueError(f"no conv kernel/bias datasets found in {h5_path!r}")
+
+    down: List[Tuple[int, int, str]] = []
+    up: List[Tuple[int, int, str]] = []
+    head = None
+    for name in layers:
+        m = _DOWN.search(name)
+        if m:
+            down.append((int(m.group(1)), int(m.group(2)), name))
+            continue
+        m = _UP.search(name)
+        if m:
+            up.append((int(m.group(1)), int(m.group(2)), name))
+            continue
+        if _HEAD.search(name):
+            head = name
+    if head is None or not down or not up:
+        raise ValueError(
+            f"unrecognized layer naming in {h5_path!r}: need "
+            f"conv_downarm_*/conv_uparm_*/likelihood, got {sorted(layers)}")
+
+    n_levels = max(lv for lv, _, _ in down) + 1
+    params: Dict[str, np.ndarray] = {}
+    mapping = []
+    for lv, i, name in sorted(down):
+        k, b = layers[name]
+        params[f"enc{lv}_{i}_w"] = k
+        params[f"enc{lv}_{i}_b"] = b
+        mapping.append((name, f"enc{lv}_{i}"))
+    # uparm level indices vary between neuron versions (some count up from
+    # the bottleneck); sort the GROUPS by their index and assign decoder
+    # levels deepest-first, which is the build order of both conventions
+    up_levels = sorted({lv for lv, _, _ in up})
+    dec_levels = list(range(n_levels - 2, -1, -1))
+    if len(up_levels) != len(dec_levels):
+        raise ValueError(
+            f"decoder level count mismatch: {len(up_levels)} uparm groups "
+            f"for {n_levels} levels")
+    for src_lv, dst_lv in zip(up_levels, dec_levels):
+        for lv, i, name in sorted(up):
+            if lv != src_lv:
+                continue
+            k, b = layers[name]
+            params[f"dec{dst_lv}_{i}_w"] = k
+            params[f"dec{dst_lv}_{i}_b"] = b
+            mapping.append((name, f"dec{dst_lv}_{i}"))
+    k, b = layers[head]
+    params["head_w"] = k
+    params["head_b"] = b
+    mapping.append((head, "head"))
+
+    # architecture self-check: every shape must be consistent with the
+    # config the weights imply (raises otherwise)
+    from .unet3d import config_from_params, validate_params
+
+    cfg = config_from_params(params)
+    validate_params(params, cfg)
+
+    if verbose:
+        for src, dst in mapping:
+            print(f"  {src:40s} -> {dst:10s} {params[dst + '_w'].shape}")
+        print(f"config: {cfg}")
+
+    np.savez(npz_path, **params)
+    return params
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 2:
+        print(__doc__)
+        raise SystemExit(
+            "usage: python -m fetal_t2mapping_tpu.labels.convert_synthseg "
+            "<synthseg_weights.h5> <out.npz>")
+    convert(argv[0], argv[1])
+
+
+if __name__ == "__main__":
+    main()

@@ -11,10 +11,20 @@ segmentation labels) with weights loadable from an .npz manifest converted
 from the released model.
 
 No weights ship in-repo (the CNN is ~100 MB and externally licensed);
-``random_params`` builds a correctly-shaped parameter tree so the full
-pipeline — padding, jitted forward, argmax label map, SynthSeg label
-numbering — is exercised in tests and ready for real weights
-(FT2_SYNTHSEG_WEIGHTS env var or SynthSegRunner(weights=...)).
+convert the released Keras file with ``labels.convert_synthseg``::
+
+    python -m fetal_t2mapping_tpu.labels.convert_synthseg \
+        $FREESURFER_HOME/models/synthseg_1.0.h5 synthseg_1.0.npz
+
+and point FT2_SYNTHSEG_WEIGHTS (or SynthSegRunner(weights=...)) at the
+manifest. The conversion + forward pass are numerically pinned against an
+independent PyTorch implementation on a Keras-layout fixture
+(tests/test_synthseg_weights.py); the architecture is inferred from the
+weight shapes (config_from_params), so distilled/truncated weight sets run
+unchanged. Convention note: the decoder concatenates [skip, upsampled]
+(channel order matters to the dec-conv input slices); if a converted model
+segments as noise, the source model likely used the reverse order — flip
+the blocks of the dec*_0 kernels' input axis.
 """
 
 from __future__ import annotations
@@ -87,6 +97,44 @@ def load_params(path: str) -> Dict[str, np.ndarray]:
         return {k: np.asarray(z[k], np.float32) for k in z.files}
 
 
+def config_from_params(params: Dict[str, np.ndarray]) -> UNetConfig:
+    """Infer the architecture a parameter tree implies (shapes are the
+    source of truth: converted real weights and test fixtures may differ
+    from the published 5-level/24-feature model)."""
+    enc_levels = set()
+    convs = set()
+    for k in params:
+        if k.startswith("enc") and k.endswith("_w"):
+            lv, i = k[3:-2].split("_")
+            enc_levels.add(int(lv))
+            convs.add(int(i))
+    if not enc_levels or "head_w" not in params:
+        raise ValueError("parameter tree lacks enc*/head conv weights")
+    return UNetConfig(
+        n_levels=max(enc_levels) + 1,
+        n_conv_per_level=max(convs) + 1,
+        base_features=int(params["enc0_0_w"].shape[-1]),
+        kernel=int(params["enc0_0_w"].shape[0]),
+        n_labels=int(params["head_w"].shape[-1]),
+    )
+
+
+def validate_params(params: Dict[str, np.ndarray], cfg: UNetConfig) -> None:
+    """Raise unless every conv weight/bias matches the cfg's exact shapes."""
+    expect = {}
+    for name, c_in, c_out in _conv_shapes(cfg):
+        k = 1 if name == "head" else cfg.kernel
+        expect[name + "_w"] = (k, k, k, c_in, c_out)
+        expect[name + "_b"] = (c_out,)
+    missing = sorted(set(expect) - set(params))
+    extra = sorted(set(params) - set(expect))
+    if missing or extra:
+        raise ValueError(f"parameter tree mismatch: missing={missing} extra={extra}")
+    for k, shape in expect.items():
+        if tuple(params[k].shape) != shape:
+            raise ValueError(f"{k}: shape {tuple(params[k].shape)} != expected {shape}")
+
+
 def _conv(x, w, b):
     """3-D conv, NDHWC, SAME — lowered onto the MXU by XLA."""
     out = jax.lax.conv_general_dilated(
@@ -142,12 +190,20 @@ def _segment_jit(params, x, cfg: UNetConfig):
 
 
 def segment_volume(params: Dict, data: np.ndarray,
-                   cfg: UNetConfig = UNetConfig(),
-                   labels: Sequence[int] = SYNTHSEG_LABELS) -> np.ndarray:
+                   cfg: "UNetConfig | None" = None,
+                   labels: "Sequence[int] | None" = None) -> np.ndarray:
     """Segment one (z, y, x) intensity volume -> int16 SynthSeg label map.
 
     Intensities are robust-max normalized (SynthSeg's inference-time
-    preprocessing); the class argmax is mapped through ``labels``."""
+    preprocessing); the class argmax is mapped through ``labels``. cfg and
+    labels default to what the parameter tree implies (converted real
+    weights use the SynthSeg aseg numbering; other label counts map to
+    0..n-1 unless given explicitly)."""
+    if cfg is None:
+        cfg = config_from_params(params)
+    if labels is None:
+        labels = (SYNTHSEG_LABELS if cfg.n_labels == len(SYNTHSEG_LABELS)
+                  else tuple(range(cfg.n_labels)))
     data = np.asarray(data, np.float32)
     scale = np.percentile(data[data > 0], 99.5) if (data > 0).any() else 1.0
     norm = np.clip(data / max(scale, 1e-6), 0.0, 1.0)
