@@ -5,8 +5,12 @@ covering what the ingest stage needs (reference utils/dcm_utils.py uses
 pydicom only to probe validity and pull a handful of attributes:
 AcquisitionDateTime, SeriesDescription, Rows/Columns, ImageOrientationPatient,
 PixelSpacing from the per-frame functional groups). Supports explicit and
-implicit VR little-endian transfer syntaxes, including nested sequences with
-defined or undefined lengths. Pixel data is never decoded.
+implicit VR little-endian transfer syntaxes (plus deflated), including
+nested sequences with defined or undefined lengths. Pixel data is returned
+raw for the native syntaxes and DECODED for RLE Lossless
+(1.2.840.10008.1.2.5, PS3.5 Annex G — the simplest encapsulated transfer
+syntax, matching dcm2niix's coverage for scanner exports; reference
+utils/dcm_utils.py:259-312); the JPEG family still requires dcm2niix.
 
 If pydicom IS importable it is used transparently (read_dcm prefers it).
 """
@@ -15,6 +19,8 @@ from __future__ import annotations
 
 import struct
 from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
 
 _TAG_NAMES = {
     (0x0008, 0x0020): "StudyDate",
@@ -166,8 +172,11 @@ def _parse_elements(buf: memoryview, offset: int, end: int, explicit: bool,
             if stop_at_pixeldata:
                 return out, end
             if length == 0xFFFFFFFF:
-                raise InvalidDicomError(
-                    "encapsulated (compressed) PixelData unsupported")
+                # encapsulated PixelData (PS3.5 A.4): Basic Offset Table
+                # item + one fragment item per frame; decoding is transfer-
+                # syntax dependent and happens in read_dcm
+                out[tag] = _Encapsulated(_parse_fragments(buf, body, end))
+                return out, end
             out[tag] = bytes(buf[body:body + length])
             return out, body + length
 
@@ -201,6 +210,106 @@ def _parse_elements(buf: memoryview, offset: int, end: int, explicit: bool,
             out[tag] = _decode_value(vr, raw)
         pos = body + length
     return out, pos
+
+
+class _Encapsulated:
+    """Marker for undecoded encapsulated PixelData fragments."""
+
+    def __init__(self, fragments):
+        self.fragments = fragments
+
+
+def _parse_fragments(buf: memoryview, pos: int, end: int):
+    """Items of an encapsulated PixelData sequence -> list of fragment bytes
+    (the first item, the Basic Offset Table, is dropped)."""
+    frags = []
+    while pos + 8 <= end:
+        g, e = struct.unpack_from("<HH", buf, pos)
+        ln = struct.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        if (g, e) == (0xFFFE, 0xE0DD):
+            break
+        if (g, e) != (0xFFFE, 0xE000):
+            raise InvalidDicomError(f"bad encapsulated item tag {(g, e)}")
+        frags.append(bytes(buf[pos:pos + ln]))
+        pos += ln
+    return frags[1:]  # frags[0] = Basic Offset Table (possibly empty)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (PS3.5 G.3.1): the RLE segment byte-decompressor."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:                       # ctrl+1 literal bytes
+            out += data[i:i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:                     # repeat next byte 257-ctrl times
+            out += data[i:i + 1] * (257 - ctrl)
+            i += 1
+        # ctrl == 128: no-op
+    if len(out) < expected:
+        raise InvalidDicomError(
+            f"RLE segment underrun: {len(out)} < {expected} bytes")
+    return bytes(out[:expected])
+
+
+def _rle_decode_frame(frag: bytes, rows: int, cols: int,
+                      bytes_per_sample: int, samples: int = 1) -> np.ndarray:
+    """One RLE frame (PS3.5 Annex G) -> (rows, cols[, samples]) uint array.
+
+    Header = 16 little-endian uint32: segment count + up to 15 offsets.
+    Each segment is one PackBits-compressed BYTE PLANE, most significant
+    byte first within each sample (G.2.1 composite pixel code order).
+    """
+    if len(frag) < 64:
+        raise InvalidDicomError("RLE frame shorter than its 64-byte header")
+    header = struct.unpack_from("<16I", frag, 0)
+    nseg = header[0]
+    if nseg != samples * bytes_per_sample:
+        raise InvalidDicomError(
+            f"RLE segment count {nseg} != samples {samples} x "
+            f"{bytes_per_sample} bytes/sample")
+    offsets = list(header[1:1 + nseg]) + [len(frag)]
+    npix = rows * cols
+    planes = []
+    for s in range(nseg):
+        seg = frag[offsets[s]:offsets[s + 1]]
+        planes.append(np.frombuffer(_packbits_decode(seg, npix), np.uint8))
+    out = np.zeros((samples, npix), np.uint32)
+    for s in range(samples):
+        for b in range(bytes_per_sample):       # planes are MSB first
+            shift = 8 * (bytes_per_sample - 1 - b)
+            out[s] |= planes[s * bytes_per_sample + b].astype(np.uint32) << shift
+    dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32}[bytes_per_sample]
+    arr = out.astype(dtype).reshape(samples, rows, cols)
+    return arr[0] if samples == 1 else np.moveaxis(arr, 0, -1)
+
+
+def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
+    """Replace an _Encapsulated PixelData entry with native-endian bytes."""
+    enc = ds_elements.get(_STOP_TAG)
+    if not isinstance(enc, _Encapsulated):
+        return
+    if ts != "1.2.840.10008.1.2.5":
+        raise InvalidDicomError(
+            f"{path}: encapsulated PixelData with transfer syntax {ts} "
+            "unsupported (only RLE Lossless 1.2.840.10008.1.2.5 is decoded "
+            "natively; convert JPEG family files with dcm2niix)")
+    rows = int(ds_elements.get((0x0028, 0x0010)) or 0)
+    cols = int(ds_elements.get((0x0028, 0x0011)) or 0)
+    bits = int(ds_elements.get((0x0028, 0x0100)) or 16)
+    samples = int(ds_elements.get((0x0028, 0x0002)) or 1)
+    if not rows or not cols:
+        raise InvalidDicomError(f"{path}: RLE PixelData without Rows/Columns")
+    bps = max(1, bits // 8)
+    frames = [_rle_decode_frame(f, rows, cols, bps, samples)
+              for f in enc.fragments]
+    stacked = frames[0] if len(frames) == 1 else np.stack(frames)
+    ds_elements[_STOP_TAG] = np.ascontiguousarray(stacked).astype(
+        stacked.dtype.newbyteorder("<")).tobytes()
 
 
 def is_dcm_file(path: str) -> bool:
@@ -266,4 +375,6 @@ def read_dcm(path: str, with_pixels: bool = False) -> DicomDataset:
         data = inflated
     elements, _ = _parse_elements(buf, meta_end, len(data), explicit,
                                   not with_pixels)
+    if with_pixels and ts is not None:
+        _decode_encapsulated(elements, ts, path)
     return DicomDataset(elements)

@@ -146,3 +146,120 @@ def test_sagittal_orientation(tmp_path):
     np.testing.assert_allclose(d[:, 0], [0, 1, 0])    # +x index -> +y world
     np.testing.assert_allclose(d[:, 1], [0, 0, -1])   # +y index -> -z world
     np.testing.assert_allclose(d[:, 2], [-1, 0, 0])   # normal
+
+
+# ----------------------------------------------------------- RLE Lossless
+def _packbits_encode(data: bytes) -> bytes:
+    """Naive PackBits encoder (runs >= 3 as replicates, else literals)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def write_test_dicom_rle(path, pixel: np.ndarray, *, ipp, te=114.0,
+                         instance=1, series_uid="1.2.3.9"):
+    """Single-frame RLE Lossless (1.2.840.10008.1.2.5) Part-10 file."""
+    rows, cols = pixel.shape
+    ts = "1.2.840.10008.1.2.5"
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", ts.encode())
+    meta = _el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+
+    def s(v):
+        return str(v).encode()
+
+    def ds_list(vals):
+        return "\\".join(f"{v:g}" for v in vals).encode()
+
+    body = b"".join([
+        _el_explicit(0x0008, 0x0060, b"CS", b"MR"),
+        _el_explicit(0x0008, 0x103E, b"LO", b"t2_haste_rle"),
+        _el_explicit(0x0018, 0x0050, b"DS", s(3.0)),
+        _el_explicit(0x0018, 0x0081, b"DS", s(te)),
+        _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode()),
+        _el_explicit(0x0020, 0x0013, b"IS", s(instance)),
+        _el_explicit(0x0020, 0x0032, b"DS", ds_list(ipp)),
+        _el_explicit(0x0020, 0x0037, b"DS", ds_list((1, 0, 0, 0, 1, 0))),
+        _el_explicit(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _el_explicit(0x0028, 0x0030, b"DS", ds_list((1.5, 2.0))),
+        _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+    ])
+    # RLE frame: 64-byte header (2 segments: MSB plane, LSB plane)
+    pix = np.ascontiguousarray(pixel, np.uint16)
+    msb = (pix >> 8).astype(np.uint8).tobytes()
+    lsb = (pix & 0xFF).astype(np.uint8).tobytes()
+    seg0 = _packbits_encode(msb)
+    seg1 = _packbits_encode(lsb)
+    header = struct.pack("<16I", 2, 64, 64 + len(seg0), *([0] * 13))
+    frame = header + seg0 + seg1
+    if len(frame) % 2:
+        frame += b"\x00"
+    # encapsulated PixelData: OB, undefined length, empty BOT + 1 fragment
+    pd = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pd += struct.pack("<HHI", 0xFFFE, 0xE000, 0)              # empty BOT
+    pd += struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+    pd += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)              # seq delimiter
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body + pd)
+
+
+def test_rle_pixels_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    truth = rng.integers(0, 4000, size=(6, 8)).astype(np.uint16)
+    truth[2:4, 2:6] = 777  # a run, so PackBits replicates are exercised
+    p = str(tmp_path / "rle.dcm")
+    write_test_dicom_rle(p, truth, ipp=(0.0, 0.0, 0.0))
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), "<u2").reshape(6, 8)
+    np.testing.assert_array_equal(arr, truth)
+
+
+def test_rle_series_to_volume(tmp_path):
+    rng = np.random.default_rng(10)
+    truth = rng.integers(0, 4000, size=(3, 6, 8)).astype(np.uint16)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"rle{i}.dcm")
+        write_test_dicom_rle(p, truth[i], ipp=(0.0, 0.0, 3.0 * i), instance=i + 1)
+        paths.append(p)
+    vol, _ = series_to_volume(paths)
+    np.testing.assert_array_equal(np.asarray(vol.data), truth.astype(np.float32))
+    assert vol.spacing == (2.0, 1.5, 3.0)
+
+
+def test_jpeg_encapsulated_raises_clear_error(tmp_path):
+    # the JPEG family is NOT natively decoded: the error must name the TS
+    # and the dcm2niix fallback
+    import pytest
+
+    from fetal_t2mapping_tpu.utils.dicom import InvalidDicomError
+
+    rng = np.random.default_rng(11)
+    truth = rng.integers(0, 100, size=(4, 4)).astype(np.uint16)
+    p = str(tmp_path / "jpg.dcm")
+    write_test_dicom_rle(p, truth, ipp=(0.0, 0.0, 0.0))
+    # same byte length (UI padding included) so the meta group stays valid
+    raw = open(p, "rb").read().replace(b"1.2.840.10008.1.2.5\x00",
+                                       b"1.2.840.10008.1.2.4\x00")
+    open(p, "wb").write(raw)
+    with pytest.raises(InvalidDicomError, match="dcm2niix"):
+        read_dcm(p, with_pixels=True)
