@@ -94,37 +94,23 @@ def main(out_dir=None):
     echoes = {te: np.asarray(nifti.read(get_img_path(
         bids, {**acq0, "EchoTime": te / 1000.0, "run": f"run-{te}"},
         C.RECON_DIRNAME)).data) for te in TES}
-    fig, axes = plt.subplots(3, 3, figsize=(11, 9), sharex=True)
-    tt = np.linspace(0, 350, 200)
-    for i, ax in enumerate(axes.ravel(), start=1):
-        m = labels == i
-        means = np.array([echoes[te][m].mean() for te in TES])
-        k_fit = kmap[m].mean()
-        t2_fit = t2map[m].mean()
-        pred = k_fit * np.exp(-np.asarray(TES) / t2_fit)
-        ss_res = np.sum((means - pred) ** 2)
-        ss_tot = np.sum((means - means.mean()) ** 2)
-        r2 = 1 - ss_res / max(ss_tot, 1e-12)
-        ax.plot(TES, means, "o", label="measured")
-        ax.plot(tt, k_fit * np.exp(-tt / t2_fit), "-",
-                label=f"fit T2={t2_fit:.0f} ms")
-        ax.set_title(f"T2-{i+2}: GT {GT_LF[i-1]} ms, R²={r2:.4f}", fontsize=9)
-        ax.legend(fontsize=7)
-    fig.supxlabel("TE (ms)")
-    fig.supylabel("signal")
-    fig.tight_layout()
-    decay_path = os.path.join(out_dir, "phantom_decay_fits.png")
-    fig.savefig(decay_path, dpi=120)
-    plt.close(fig)
+    from fetal_t2mapping_tpu.analysis.figures import map_montage, relaxation_curves
 
-    # --- figure 2: rendered T2 map (mid slice)
-    fig, ax = plt.subplots(figsize=(5, 5))
-    im = ax.imshow(t2map[10], vmin=0, vmax=650, cmap="viridis")
-    fig.colorbar(im, ax=ax, label="T2 (ms)")
-    ax.set_title("fitted T2 map (z=10)")
-    map_path = os.path.join(out_dir, "phantom_t2map.png")
-    fig.savefig(map_path, dpi=120)
-    plt.close(fig)
+    roi_means, fits, gt = {}, {}, {}
+    for i in range(1, 10):
+        m = labels == i
+        name = f"T2-{i + 2}"
+        roi_means[name] = np.array([echoes[te][m].mean() for te in TES])
+        fits[name] = (float(kmap[m].mean()), float(t2map[m].mean()))
+        gt[name] = float(GT_LF[i - 1])
+    decay_path = relaxation_curves(
+        TES, roi_means, os.path.join(out_dir, "phantom_decay_fits.png"),
+        fits=fits, gt=gt, title="phantom sphere decay fits")
+
+    # --- figure 2: rendered T2 map montage
+    map_path = map_montage(t2map, os.path.join(out_dir, "phantom_t2map.png"),
+                           n_slices=3, vmax=650.0, mask=labels > 0,
+                           title="fitted T2 map")
 
     print(f"\nfigures: {decay_path}\n         {map_path}")
     print("\nstage timing:\n" + profiler.report())

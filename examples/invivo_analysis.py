@@ -25,7 +25,8 @@ import matplotlib
 matplotlib.use("Agg")
 
 from fetal_t2mapping_tpu.analysis.figures import (
-    cov_boxplot, pearson_scatter, tissue_violin,
+    cov_boxplot, map_montage, pearson_scatter, relaxation_curves,
+    tissue_violin,
 )
 from fetal_t2mapping_tpu.analysis.roi import t2_per_atlas_roi, t2_per_tissue_feta
 from fetal_t2mapping_tpu.analysis.stats import (
@@ -113,11 +114,37 @@ def main(out_dir=None):
     violin_path = os.path.join(out_dir, "tissue_violin.png")
     tissue_violin(df[df["roi"].isin(["wm", "gm"])], violin_path)
 
+    # --- rendered T2 + residual map montages (notebook map-render cells)
+    t2, feta, _ = synthesize_session(rng, 0.0, 0.0)
+    map_path = map_montage(t2, os.path.join(out_dir, "t2map_montage.png"),
+                           mask=feta > 0, label="T2 (ms)",
+                           title="fitted T2 map")
+    residual = rng.normal(0, 2.0, t2.shape).astype(np.float32)
+    res_path = map_montage(np.abs(residual),
+                           os.path.join(out_dir, "resmap_montage.png"),
+                           mask=feta > 0, label="|residual|",
+                           title="fit residual map")
+
+    # --- per-tissue relaxation curves with fit overlays + R^2
+    tes = np.asarray([114.0, 202.0, 299.0])
+    k0 = 1000.0
+    roi_means, roi_stds, fits = {}, {}, {}
+    for name, cls in (("wm", 3), ("gm", 2), ("csf", 1)):
+        vox_t2 = t2[feta == cls]
+        sig = k0 * np.exp(-tes[None, :] / vox_t2[:, None])
+        roi_means[name] = sig.mean(0)
+        roi_stds[name] = sig.std(0)
+        fits[name] = (k0, float(vox_t2.mean()))
+    curves_path = relaxation_curves(
+        tes, roi_means, os.path.join(out_dir, "relaxation_curves.png"),
+        fits=fits, roi_stds=roi_stds, title="per-tissue relaxation")
+
     print(df.groupby(["roi"])["mean"].describe().loc[["wm", "gm", "csf"]])
     print(f"\nWilcoxon ses-01 vs ses-02: W={w['statistic']:.1f} p={w['pvalue']:.3f}")
     print(f"Pearson ses-01 vs ses-02: r={reg['r']:.4f} slope={reg['slope']:.3f}")
     print(f"\nartifacts in {out_dir}:")
-    for p in (table_path, cov_path, pearson_path, violin_path):
+    for p in (table_path, cov_path, pearson_path, violin_path, map_path,
+              res_path, curves_path):
         print(" ", p)
     return df
 

@@ -112,3 +112,30 @@ class TestFigures:
         import os
         for p in (p1, p2, p3, p4):
             assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+class TestMapAndCurveFigures:
+    def test_map_montage(self, tmp_path):
+        from fetal_t2mapping_tpu.analysis.figures import map_montage
+
+        rng = np.random.default_rng(3)
+        data = rng.uniform(50, 600, (12, 16, 16)).astype(np.float32)
+        mask = np.zeros(data.shape, bool)
+        mask[:, 4:12, 4:12] = True
+        p = map_montage(data, str(tmp_path / "montage.png"), n_slices=3,
+                        mask=mask, title="t2")
+        import os
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+
+    def test_relaxation_curves_r2_exact_fit(self, tmp_path):
+        from fetal_t2mapping_tpu.analysis.figures import relaxation_curves
+
+        tes = np.array([114.0, 202.0, 299.0])
+        k, t2 = 1200.0, 150.0
+        means = k * np.exp(-tes / t2)
+        p = relaxation_curves(tes, {"wm": means}, str(tmp_path / "curves.png"),
+                              fits={"wm": (k, t2)},
+                              roi_stds={"wm": 0.05 * means},
+                              gt={"wm": 150.0})
+        import os
+        assert os.path.exists(p) and os.path.getsize(p) > 0
