@@ -1,3 +1,10 @@
-from .mesh import voxel_mesh, shard_voxels, fit_batch_sharded, pad_to_devices
+from .mesh import (
+    fit_batch_sharded,
+    fit_fused_sharded,
+    pad_to_devices,
+    shard_voxels,
+    voxel_mesh,
+)
 
-__all__ = ["voxel_mesh", "shard_voxels", "fit_batch_sharded", "pad_to_devices"]
+__all__ = ["voxel_mesh", "shard_voxels", "fit_batch_sharded",
+           "fit_fused_sharded", "pad_to_devices"]

@@ -68,3 +68,109 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestAdversarialSharding:
+    """VERDICT r1 item 10: shard-nonuniform convergence behavior.
+
+    The per-shard straggler compaction must give bit-identical results to a
+    single-chip run even when unconverged voxels are concentrated in ONE
+    shard (worst-case straggler skew: some shards' phase-2 buffers overflow
+    while others are empty)."""
+
+    def _skewed_signals(self, n, n_shards=8, seed=3):
+        """Clean fast-converging voxels everywhere except shard 0, which is
+        ALL noise-floor stragglers."""
+        rng = np.random.default_rng(seed)
+        te = np.array([114.0, 202.0, 299.0], np.float32)
+        k = rng.uniform(600, 5000, n).astype(np.float32)
+        t2 = rng.uniform(80, 400, n).astype(np.float32)
+        s = (k[:, None] * np.exp(-te[None, :] / t2[:, None])).astype(np.float32)
+        shard = n // n_shards
+        # shard 0: heavy noise on steep decays -> slow/ridge voxels
+        t2[:shard] = rng.uniform(12, 25, shard).astype(np.float32)
+        s[:shard] = np.maximum(
+            k[:shard, None] * np.exp(-te[None, :] / t2[:shard, None])
+            + rng.normal(0, 30.0, (shard, 3)).astype(np.float32), 1e-2)
+        return s, te
+
+    def test_skewed_stragglers_match_single_chip(self):
+        from fetal_t2mapping_tpu.models.pallas_fit import fit_fused
+        from fetal_t2mapping_tpu.parallel import fit_fused_sharded
+
+        mesh = voxel_mesh()
+        n = pad_to_devices(2000, mesh, lane=128)
+        s, te = self._skewed_signals(n)
+        lo, hi = (0.0, 10.0), (1e6, 2000.0)
+        kw = dict(phase1_iters=6, max_iters=40, tail_frac=0.02, tail_rounds=2)
+        sharded = fit_fused_sharded(s, tuple(te.tolist()), lo, hi, mesh=mesh, **kw)
+        single = fit_fused(s, tuple(te.tolist()), lo, hi, **kw)
+
+        # per-shard compaction: every shard refits ITS stragglers with the
+        # full budget; parity must hold voxel-for-voxel wherever the refit
+        # actually happened in both (the straggler shard may overflow its
+        # smaller per-shard buffer in one and not the other, which is
+        # exactly what n_overflow reports)
+        x_s, x_1 = np.asarray(sharded.x), np.asarray(single.x)
+        conv_s = np.asarray(sharded.converged)
+        conv_1 = np.asarray(single.converged)
+        both = conv_s & conv_1
+        assert both.mean() > 0.8
+        np.testing.assert_allclose(x_s[both], x_1[both], rtol=1e-5, atol=1e-5)
+        # overflow is REPORTED, not silent, on both paths
+        assert int(sharded.n_overflow) >= 0
+        assert int(single.n_overflow) >= 0
+
+    def test_skewed_stragglers_full_budget_bitwise_parity(self):
+        # with enough tail capacity nobody overflows and the sharded result
+        # is exactly the single-chip result, straggler skew or not
+        from fetal_t2mapping_tpu.models.pallas_fit import fit_fused
+        from fetal_t2mapping_tpu.parallel import fit_fused_sharded
+
+        mesh = voxel_mesh()
+        n = pad_to_devices(2000, mesh, lane=128)
+        s, te = self._skewed_signals(n)
+        lo, hi = (0.0, 10.0), (1e6, 2000.0)
+        kw = dict(phase1_iters=6, max_iters=40, tail_frac=0.5, tail_rounds=3)
+        sharded = fit_fused_sharded(s, tuple(te.tolist()), lo, hi, mesh=mesh, **kw)
+        single = fit_fused(s, tuple(te.tolist()), lo, hi, **kw)
+        assert int(sharded.n_overflow) == 0 and int(single.n_overflow) == 0
+        np.testing.assert_array_equal(np.asarray(sharded.converged),
+                                      np.asarray(single.converged))
+        np.testing.assert_allclose(np.asarray(sharded.x), np.asarray(single.x),
+                                   rtol=0, atol=0)  # bitwise
+
+    def test_fit_volume_sharded_8dev(self):
+        """8-device masked volume fit: shard the flattened voxel grid of a
+        (Z,Y,X,T) stack, fit, scatter — and match the single-device
+        fit_volume maps exactly."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fetal_t2mapping_tpu.models.volume_fit import fit_volume
+
+        mesh = voxel_mesh()
+        rng = np.random.default_rng(5)
+        z, y, x = 8, 16, 16
+        te = np.array([114.0, 202.0, 299.0], np.float32)
+        t2 = rng.uniform(50, 400, (z, y, x)).astype(np.float32)
+        k = rng.uniform(600, 4000, (z, y, x)).astype(np.float32)
+        sig = (k[..., None] * np.exp(-te / t2[..., None])).astype(np.float32)
+        mask = np.zeros((z, y, x), bool)
+        mask[2:6, 4:12, 4:12] = True
+
+        res_1 = fit_volume(sig, mask, tuple(te.tolist()), (0.0, 10.0),
+                           (1e6, 2000.0), mask_frac=0.5)
+        # device-put the stack sharded over Z (leading axis) and run the
+        # same single-jit program: XLA partitions compaction+fit+scatter
+        sig_sh = jax.device_put(sig, NamedSharding(mesh, P("vox", None, None, None)))
+        mask_sh = jax.device_put(mask, NamedSharding(mesh, P("vox", None, None)))
+        res_8 = fit_volume(sig_sh, mask_sh, tuple(te.tolist()), (0.0, 10.0),
+                           (1e6, 2000.0), mask_frac=0.5)
+        assert int(res_8.n_overflow) == 0
+        np.testing.assert_allclose(np.asarray(res_8.t2), np.asarray(res_1.t2),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(res_8.converged),
+                                      np.asarray(res_1.converged))
+        rel = np.abs(np.asarray(res_8.t2)[mask] - t2[mask]) / t2[mask]
+        assert rel.max() < 1e-3
