@@ -141,7 +141,11 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
         # step clips k to exactly 0 (m/k would freeze the voxel forever).
         m = [k * et for et in e]
         r = [st - mt for st, mt in zip(s, m)]
-        u = [t / (t2 * t2) for t in te]               # d(-te/t2)/dt2
+        # ONE reciprocal for all the 1/t2 powers: Mosaic divides lower to
+        # multi-op sequences, and this loop runs every iteration
+        inv_t2 = 1.0 / t2
+        inv_t2sq = inv_t2 * inv_t2
+        u = [t * inv_t2sq for t in te]                # d(-te/t2)/dt2
         dm_t = [mt * ut for mt, ut in zip(m, u)]      # dm/dt2
 
         g_k = -2.0 * inv_t * sum(rt * et for rt, et in zip(r, e))
@@ -149,7 +153,7 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
         h_kk = 2.0 * inv_t * sum(et * et for et in e)
         h_kt = 2.0 * inv_t * sum(et * ut * (mt - rt)
                                  for et, ut, mt, rt in zip(e, u, m, r))
-        d2m_tt = [dt * ut - 2.0 * mt * ut / t2
+        d2m_tt = [dt * ut - 2.0 * mt * ut * inv_t2
                   for dt, ut, mt in zip(dm_t, u, m)]
         h_tt = 2.0 * inv_t * sum(dt * dt - rt * d2
                                  for dt, rt, d2 in zip(dm_t, r, d2m_tt))
@@ -170,8 +174,9 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
         b2 = g_t * ft
         det = a11 * a22 - a12 * a12
         det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-        p_k = -(a22 * b1 - a12 * b2) / det * fk
-        p_t = -(a11 * b2 - a12 * b1) / det * ft
+        inv_det = 1.0 / det
+        p_k = -(a22 * b1 - a12 * b2) * inv_det * fk
+        p_t = -(a11 * b2 - a12 * b1) * inv_det * ft
 
         k_new = jnp.clip(k + p_k, lo_k, hi_k)
         t2_new = jnp.clip(t2 + p_t, lo_t2, hi_t2)
@@ -247,9 +252,10 @@ def _masked_solve3(h, g, fm, lam):
     c20 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
     c21 = a[0][2] * a[1][0] - a[0][0] * a[1][2]
     c22 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
-    p0 = -(c00 * b[0] + c10 * b[1] + c20 * b[2]) / det * fm[0]
-    p1 = -(c01 * b[0] + c11 * b[1] + c21 * b[2]) / det * fm[1]
-    p2 = -(c02 * b[0] + c12 * b[1] + c22 * b[2]) / det * fm[2]
+    inv_det = 1.0 / det
+    p0 = -(c00 * b[0] + c10 * b[1] + c20 * b[2]) * inv_det * fm[0]
+    p1 = -(c01 * b[0] + c11 * b[1] + c21 * b[2]) * inv_det * fm[1]
+    p2 = -(c02 * b[0] + c12 * b[1] + c22 * b[2]) * inv_det * fm[2]
     return p0, p1, p2
 
 
@@ -605,9 +611,18 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     # kernel ever launches. Voxels still unhandled after the last round keep
     # phase-1 results and are COUNTED in n_overflow instead of being
     # silently dropped.
+    # The per-voxel state rides the loop PACKED as one (N, P+4) f32 array
+    # [x0..x_{P-1}, fun, conv, n_iter, handled]: TPU scatters serialize over
+    # update ROWS (not elements), so merging a refit round costs ONE
+    # capacity-row scatter instead of five.
+    p_dim = x1.shape[1]
+    packed0 = jnp.concatenate(
+        [x1, fun1_v[:, None], conv1_v[:, None], nit1_v[:, None],
+         conv1_v[:, None]], axis=1)                    # handled starts = conv
+
     def refit_cond(state):
-        r, _, _, _, _, handled = state
-        return (r < tail_rounds) & jnp.any(~handled)
+        r, packed = state
+        return (r < tail_rounds) & jnp.any(packed[:, p_dim + 3] < 0.5)
 
     def refit_round(state):
         # Re-fit one capacity-sized buffer of unhandled voxels with the full
@@ -616,7 +631,8 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         # restarts from the same x0 and re-treads phase 1's steps
         # deterministically before going further. no_prior per-voxel bounds
         # travel with the gathered signal rows.
-        r, x, fun, conv, nit, handled = state
+        r, packed = state
+        handled = packed[:, p_dim + 3] > 0.5
         tail_idx, n_tail = _tail_partition(handled, capacity)
         sig_tail = signal[tail_idx]
         tiles2, _ = _to_tiles(sig_tail, capacity)
@@ -624,27 +640,24 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
             tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
             max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
             interpret=interpret)
-        x2 = _from_tiles(params2, capacity)
-        st2 = stats2.reshape(3, -1)
-
+        x2 = _from_tiles(params2, capacity)            # (capacity, P)
+        st2 = stats2.reshape(3, -1)[:, :capacity]
+        # a refit voxel got the full budget whether or not it converged:
+        # it never enters another round (handled column -> 1)
+        upd = jnp.concatenate(
+            [x2, st2[0][:, None], st2[1][:, None], st2[2][:, None],
+             jnp.ones((capacity, 1), jnp.float32)], axis=1)
         valid = jnp.arange(capacity) < n_tail
         safe_idx = jnp.where(valid, tail_idx, n)       # n = out of range -> drop
-        x = x.at[safe_idx].set(x2, mode="drop")
-        fun = fun.at[safe_idx].set(st2[0, :capacity], mode="drop")
-        conv = conv.at[safe_idx].set(st2[1, :capacity] > 0.5, mode="drop")
-        nit = nit.at[safe_idx].set(st2[2, :capacity].astype(jnp.int32),
-                                   mode="drop")
-        # a refit voxel got the full budget whether or not it converged:
-        # it never enters another round
-        handled = handled.at[safe_idx].set(True, mode="drop")
-        return r + 1, x, fun, conv, nit, handled
+        packed = packed.at[safe_idx].set(upd, mode="drop")
+        return r + 1, packed
 
-    state0 = (jnp.asarray(0, jnp.int32), x1, fun1_v, conv1,
-              nit1_v.astype(jnp.int32), conv1)
-    _, x, fun, conv, nit, handled = lax.while_loop(
-        refit_cond, refit_round, state0)
-    n_overflow = jnp.sum(~handled).astype(jnp.int32)
-    return FitResult(x=x, fun=fun, converged=conv, n_iter=nit,
+    _, packed = lax.while_loop(
+        refit_cond, refit_round, (jnp.asarray(0, jnp.int32), packed0))
+    n_overflow = jnp.sum(packed[:, p_dim + 3] < 0.5).astype(jnp.int32)
+    return FitResult(x=packed[:, :p_dim], fun=packed[:, p_dim],
+                     converged=packed[:, p_dim + 1] > 0.5,
+                     n_iter=packed[:, p_dim + 2].astype(jnp.int32),
                      n_overflow=n_overflow)
 
 

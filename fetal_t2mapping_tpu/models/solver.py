@@ -209,18 +209,22 @@ def fit_batch(signal, te, x0, lo, hi, *, model: str, max_iters: int = 60,
 
 def _tail_partition(conv, capacity: int):
     """On-device stable partition: indices of up to ``capacity`` unconverged
-    voxels via cumsum + drop-mode scatter — O(N), no sort, NO host sync
-    (a host round trip costs more than the whole fit on a tunneled chip).
+    voxels, NO host sync (a host round trip costs more than the whole fit
+    on a tunneled chip).
+
+    A stable argsort on the converged flags (False first) replaces the
+    earlier cumsum + drop-scatter: TPU scatters serialize over updates
+    (measured 84 ms for 16.7M updates vs 36 ms for the full sort).
 
     Returns (tail_idx (capacity,), n_tail). Slots past n_tail point at
-    voxel 0; callers mask them out on merge.
+    CONVERGED voxels (harmlessly refit and dropped on merge); callers mask
+    with n_tail.
     """
-    unconv = ~conv
-    rank = jnp.cumsum(unconv.astype(jnp.int32)) - 1
-    dest = jnp.where(unconv, rank, capacity)          # converged -> dropped
-    tail_idx = jnp.zeros((capacity,), jnp.int32).at[dest].set(
-        jnp.arange(conv.shape[0], dtype=jnp.int32), mode="drop")
-    return tail_idx, jnp.sum(unconv.astype(jnp.int32))
+    order = jnp.argsort(conv, stable=True)            # unconverged first
+    if capacity > order.shape[0]:                     # tiny batches: cap > N
+        order = jnp.pad(order, (0, capacity - order.shape[0]))
+    tail_idx = lax.slice(order, (0,), (capacity,)).astype(jnp.int32)
+    return tail_idx, jnp.sum((~conv).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=(
