@@ -98,15 +98,21 @@ def _device_pyramid(vol: Volume, levels: Sequence[int], sigmas: Sequence[float])
 
 
 # ------------------------------------------------------------------ metric
-def _make_metric(fixed_vol: Volume, fixed_data, fixed_spacing,
-                 moving_vol: Volume, moving_data, moving_spacing,
-                 kind: str, transform_fn, max_points: int = 1 << 16):
-    """Build metric(params) -> scalar on one pyramid level (device arrays).
+def _level_inputs(fixed_vol: Volume, fixed_data, fixed_spacing,
+                  moving_vol: Volume, moving_data, moving_spacing,
+                  max_points: int = 1 << 16):
+    """Device operands for one pyramid level's metric.
 
     The fixed grid is stride-subsampled to at most ~max_points samples:
     gathers are the expensive op on TPU, and a rigid/affine metric saturates
     long before dense sampling (Elastix defaults to a few THOUSAND random
-    samples; 2^16 strided samples is still ~20x denser)."""
+    samples; 2^16 strided samples is still ~20x denser).
+
+    Everything data-dependent is returned as ARRAYS to be passed into the
+    jitted level driver — baking them into a metric closure would make
+    every registration a fresh jit cache entry and recompile (~15-40 s per
+    call on the tunneled chip; observed dominating 'warm' registrations).
+    """
     shape = tuple(int(s) for s in fixed_data.shape)
     npts = int(np.prod(shape))
     stride = 1
@@ -124,15 +130,22 @@ def _make_metric(fixed_vol: Volume, fixed_data, fixed_spacing,
     Mi = np.linalg.inv(moving_vol.direction_matrix @ np.diag(moving_spacing))
     m_inv = jnp.asarray(Mi.T, jnp.float32)
     m_origin = jnp.asarray(moving_vol.origin, jnp.float32)
-    m_data = moving_data
+    return fixed_pts, fixed_vals, moving_data, m_inv, m_origin
+
+
+def _make_metric_fn(kind: str, transform_fn, fixed_pts, fixed_vals,
+                    m_data, m_inv, m_origin):
+    """metric(params) -> scalar from traced level operands (trace-time
+    closure INSIDE the jitted driver — no host constants baked in)."""
+    n_bins = 32
     nz, ny, nx = m_data.shape
 
     # histogram-metric precomputation: the FIXED image's soft bin weights
-    # are constant across iterations — build them once per level. 32 bins,
-    # Parzen window = a Gaussian one bin wide (smooth everywhere, so the
-    # metric is differentiable w.r.t. the transform through the moving
-    # values; Mattes' cubic B-spline would serve the same purpose).
-    n_bins = 32
+    # are constant across iterations — computed once per trace and hoisted
+    # out of the optimization loop by XLA. 32 bins, Parzen window = a
+    # Gaussian one bin wide (smooth everywhere, so the metric is
+    # differentiable w.r.t. the transform through the moving values;
+    # Mattes' cubic B-spline would serve the same purpose).
     if kind in ("mi", "cr"):
         f_lo = jnp.min(fixed_vals)
         f_rng = jnp.maximum(jnp.max(fixed_vals) - f_lo, 1e-6)
@@ -140,8 +153,8 @@ def _make_metric(fixed_vol: Volume, fixed_data, fixed_spacing,
         zf = (fixed_vals - f_lo) / f_rng * (n_bins - 1)
         wf = jnp.exp(-0.5 * jnp.square(zf[:, None] - centers[None, :]))
         wf = wf / (jnp.sum(wf, axis=1, keepdims=True) + 1e-12)    # (N, B)
-        m_lo = jnp.min(moving_data)
-        m_rng = jnp.maximum(jnp.max(moving_data) - m_lo, 1e-6)
+        m_lo = jnp.min(m_data)
+        m_rng = jnp.maximum(jnp.max(m_data) - m_lo, 1e-6)
 
     def metric(params):
         R, offset = transform_fn(params)
@@ -206,28 +219,43 @@ def _make_metric(fixed_vol: Volume, fixed_data, fixed_spacing,
 
 
 # --------------------------------------------------------------- optimizer
-def _adam_minimize(metric, params0, lr: float, iters: int):
+@functools.partial(jax.jit, static_argnames=("kind", "mode", "iters"))
+def _run_level(fixed_pts, fixed_vals, m_data, m_inv, m_origin, center,
+               scale, params0, lr, *, kind: str, mode: str, iters: int):
+    """One pyramid level: build the metric from traced operands, run Adam.
+
+    Jitted ONCE per (level shape, kind, mode, iters): all image data,
+    grids and geometry are arguments, so repeated registrations hit the
+    compile cache (a closure-captured metric recompiled every call —
+    15-40 s per registration on the tunneled chip)."""
+    if mode == "rigid":
+        tf = lambda p: _rigid_matrix(p, center, scale)
+    else:
+        # translations need mm-scale steps: scale them up inside the transform
+        tf = lambda p: _affine_matrix(
+            jnp.concatenate([p[:9], p[9:] * _AFFINE_T_SCALE]), center)
+    metric = _make_metric_fn(kind, tf, fixed_pts, fixed_vals, m_data,
+                             m_inv, m_origin)
     grad_fn = jax.value_and_grad(metric)
 
-    @jax.jit
-    def run(params0):
-        def body(carry, _):
-            params, m, v, t = carry
-            f, g = grad_fn(params)
-            t = t + 1
-            m = 0.9 * m + 0.1 * g
-            v = 0.999 * v + 0.001 * g * g
-            mhat = m / (1 - 0.9 ** t)
-            vhat = v / (1 - 0.999 ** t)
-            params = params - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-            return (params, m, v, t), f
+    def body(carry, _):
+        params, m, v, t = carry
+        f, g = grad_fn(params)
+        t = t + 1
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1 - 0.9 ** t)
+        vhat = v / (1 - 0.999 ** t)
+        params = params - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return (params, m, v, t), f
 
-        z = jnp.zeros_like(params0)
-        (params, _, _, _), fs = lax.scan(
-            body, (params0, z, z, jnp.asarray(0, jnp.int32)), None, length=iters)
-        return params, fs
+    z = jnp.zeros_like(params0)
+    (params, _, _, _), fs = lax.scan(
+        body, (params0, z, z, jnp.asarray(0, jnp.int32)), None, length=iters)
+    return params, fs
 
-    return run(params0)
+
+_AFFINE_T_SCALE = 50.0
 
 
 # -------------------------------------------------------------------- API
@@ -262,9 +290,10 @@ def register_rigid(
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
     for (f_dat, f_sp), (m_dat, m_sp), n_it in zip(f_pyr, m_pyr, iters):
-        tf = lambda p: _rigid_matrix(p, jnp.asarray(center), scale)
-        mfn = _make_metric(fixed, f_dat, f_sp, moving, m_dat, m_sp, metric, tf)
-        params, fs = _adam_minimize(mfn, params, lr, n_it)
+        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp)
+        params, fs = _run_level(*ops, jnp.asarray(center), jnp.asarray(scale),
+                                params, jnp.float32(lr), kind=metric,
+                                mode="rigid", iters=int(n_it))
         history.append(np.asarray(fs))
         f_last = float(history[-1][-1])
 
@@ -298,19 +327,16 @@ def register_affine(
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
     for (f_dat, f_sp), (m_dat, m_sp), n_it in zip(f_pyr, m_pyr, iters):
-        # translations need mm-scale steps: scale them up inside the transform
-        t_scale = 50.0
-
-        def tf(p):
-            q = jnp.concatenate([p[:9], p[9:] * t_scale])
-            return _affine_matrix(q, jnp.asarray(center))
-
-        mfn = _make_metric(fixed, f_dat, f_sp, moving, m_dat, m_sp, metric, tf)
-        params, fs = _adam_minimize(mfn, params, lr, n_it)
+        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp)
+        params, fs = _run_level(*ops, jnp.asarray(center),
+                                jnp.float32(1.0),  # unused in affine mode
+                                params, jnp.float32(lr), kind=metric,
+                                mode="affine", iters=int(n_it))
         history.append(np.asarray(fs))
         f_last = float(history[-1][-1])
 
-    q = np.concatenate([np.asarray(params)[:9], np.asarray(params)[9:] * 50.0])
+    q = np.concatenate([np.asarray(params)[:9],
+                        np.asarray(params)[9:] * _AFFINE_T_SCALE])
     M, offset = _affine_matrix(jnp.asarray(q), jnp.asarray(center))
     T = np.eye(4)
     T[:3, :3] = np.asarray(M)
