@@ -64,20 +64,25 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
     valid = jnp.arange(capacity) < n_sel
     safe_idx = jnp.where(valid, idx, n)                # n -> dropped
 
-    def scatter(vals, fill, dtype):
-        out = jnp.full((n,), fill, dtype)
-        return out.at[safe_idx].set(vals.astype(dtype), mode="drop").reshape(zyx)
-
+    # ONE packed scatter builds all six maps: TPU scatters serialize over
+    # update ROWS, so six separate 1.5M-row scatters cost ~6x one
+    # (capacity, 6) scatter (measured ~8 ms per 1.7M-row scatter)
     p = res.x.shape[1]
     sigma = (res.x[:, 2] if p == 3 else jnp.zeros_like(res.x[:, 0]))
+    upd = jnp.stack([res.x[:, 1], res.x[:, 0], sigma, res.fun,
+                     res.converged.astype(jnp.float32),
+                     res.n_iter.astype(jnp.float32)], axis=1)
+    dense = jnp.zeros((n, 6), jnp.float32).at[safe_idx].set(
+        upd, mode="drop")
+
     n_overflow = jnp.maximum(n_sel - jnp.sum(valid.astype(jnp.int32)), 0)
     return VolumeFitResult(
-        t2=scatter(res.x[:, 1], 0.0, jnp.float32),
-        k=scatter(res.x[:, 0], 0.0, jnp.float32),
-        sigma=scatter(sigma, 0.0, jnp.float32),
-        fun=scatter(res.fun, 0.0, jnp.float32),
-        converged=scatter(res.converged, False, jnp.bool_),
-        n_iter=scatter(res.n_iter, 0, jnp.int32),
+        t2=dense[:, 0].reshape(zyx),
+        k=dense[:, 1].reshape(zyx),
+        sigma=dense[:, 2].reshape(zyx),
+        fun=dense[:, 3].reshape(zyx),
+        converged=(dense[:, 4] > 0.5).reshape(zyx),
+        n_iter=dense[:, 5].astype(jnp.int32).reshape(zyx),
         n_masked=n_sel,
         n_overflow=n_overflow,
     )

@@ -196,3 +196,24 @@ def test_masks_and_bet_raises_on_missing_mask(tmp_path):
     # no synthseg labels -> no mask file gets built -> must raise, not skip
     with pytest.raises(FileNotFoundError, match="no mask for recon"):
         run_masks_and_bet(md, str(tmp_path))
+
+
+def test_persistent_compile_cache_config(tmp_path):
+    # the package enables a persistent XLA compile cache by default (compiles
+    # cost 15-40 s/shape on the target chip and were repaid every process);
+    # env must be able to relocate and disable it
+    import subprocess
+    import sys
+
+    code = ("import fetal_t2mapping_tpu, jax; "
+            "print(jax.config.jax_compilation_cache_dir or '')")
+    on = subprocess.run([sys.executable, "-c", code],
+                        env={**__import__('os').environ,
+                             "FT2_COMPILE_CACHE": str(tmp_path / "cc")},
+                        capture_output=True, text=True, cwd="/root/repo")
+    assert on.stdout.strip() == str(tmp_path / "cc"), on.stderr[-500:]
+    off = subprocess.run([sys.executable, "-c", code],
+                         env={**__import__('os').environ,
+                              "FT2_COMPILE_CACHE": "0"},
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert off.stdout.strip() == "", off.stderr[-500:]
