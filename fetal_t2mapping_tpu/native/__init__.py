@@ -69,6 +69,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.ft2_dicom_probe_batch.restype = ctypes.c_int
+        lib.ft2_jpegll_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.ft2_jpegll_info.restype = ctypes.c_int
+        lib.ft2_jpegll_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64]
+        lib.ft2_jpegll_decode.restype = ctypes.c_int
         lib.ft2_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.ft2_free.restype = None
         lib.ft2_version.restype = ctypes.c_char_p
@@ -140,6 +149,44 @@ def write_file(path: str, data: bytes, *, gzip_level: Optional[int] = None) -> b
     if rc != 0:
         raise OSError(f"ft2_write_file({path!r}) failed with code {rc}")
     return True
+
+
+def jpegll_decode(data: bytes):
+    """Decode a T.81 lossless JPEG stream -> uint16/uint8 ndarray.
+
+    Returns None if the native library is unavailable (caller falls back to
+    utils.jpegll). Raises ValueError on malformed/unsupported streams so the
+    caller can surface one uniform error path.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+
+    buf = ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
+    rows = ctypes.c_int32()
+    cols = ctypes.c_int32()
+    comps = ctypes.c_int32()
+    prec = ctypes.c_int32()
+    rc = lib.ft2_jpegll_info(buf, len(data), ctypes.byref(rows),
+                             ctypes.byref(cols), ctypes.byref(comps),
+                             ctypes.byref(prec))
+    if rc == -11:   # parseable but outside our lossless scope: let the
+        return None  # Python fallback produce its specific JpegError
+    if rc != 0:
+        raise ValueError(f"jpegll: malformed stream (native code {rc})")
+    n = rows.value * cols.value * comps.value
+    out = np.empty(n, np.uint16)
+    rc = lib.ft2_jpegll_decode(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        n)
+    if rc != 0:
+        raise ValueError(f"jpegll: decode failed (native code {rc})")
+    arr = out.reshape(rows.value, cols.value, comps.value)
+    arr = arr[:, :, 0] if comps.value == 1 else arr
+    if prec.value <= 8:
+        arr = arr.astype(np.uint8)
+    return np.ascontiguousarray(arr)
 
 
 def dicom_probe(paths: Sequence[str], n_threads: int = 8) -> Optional[List[int]]:

@@ -7,10 +7,12 @@ AcquisitionDateTime, SeriesDescription, Rows/Columns, ImageOrientationPatient,
 PixelSpacing from the per-frame functional groups). Supports explicit and
 implicit VR little-endian transfer syntaxes (plus deflated), including
 nested sequences with defined or undefined lengths. Pixel data is returned
-raw for the native syntaxes and DECODED for RLE Lossless
-(1.2.840.10008.1.2.5, PS3.5 Annex G — the simplest encapsulated transfer
-syntax, matching dcm2niix's coverage for scanner exports; reference
-utils/dcm_utils.py:259-312); the JPEG family still requires dcm2niix.
+raw for the native syntaxes and DECODED for the compressed ones scanners
+actually export (reference utils/dcm_utils.py:259-312 delegates these to
+the dcm2niix binary): RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex G)
+and JPEG Lossless Process 14 / SV1 (1.2.840.10008.1.2.4.57/.70, via
+native ft2_jpegll_decode with a pure-Python utils/jpegll.py fallback).
+Lossy JPEG and JPEG 2000 still require dcm2niix.
 
 If pydicom IS importable it is used transparently (read_dcm prefers it).
 """
@@ -288,25 +290,79 @@ def _rle_decode_frame(frag: bytes, rows: int, cols: int,
     return arr[0] if samples == 1 else np.moveaxis(arr, 0, -1)
 
 
+_TS_RLE = "1.2.840.10008.1.2.5"
+# JPEG Lossless Process 14 (.4.57) and its SV1 restriction (.4.70) — the
+# compressed syntaxes scanners actually emit; decoded in-repo (native
+# ft2_jpegll_decode, pure-Python utils/jpegll.py fallback)
+_TS_JPEGLL = ("1.2.840.10008.1.2.4.57", "1.2.840.10008.1.2.4.70")
+
+
+def _jpegll_frame_streams(fragments) -> list:
+    """Group encapsulation fragments into complete JPEG streams.
+
+    A frame may span multiple fragments (PS3.5 A.4); each new frame starts
+    with an SOI marker at a fragment boundary."""
+    streams, cur = [], b""
+    for f in fragments:
+        if f[:2] == b"\xff\xd8" and cur:
+            streams.append(cur)
+            cur = b""
+        cur += f
+    if cur:
+        streams.append(cur)
+    return streams
+
+
+def _jpegll_decode_stream(stream: bytes, path: str) -> np.ndarray:
+    from . import jpegll as _pyjpegll
+    from .. import native
+
+    try:
+        arr = native.jpegll_decode(stream)
+    except ValueError as e:
+        raise InvalidDicomError(f"{path}: {e}") from e
+    if arr is None:
+        try:
+            arr = _pyjpegll.decode(stream)
+        except _pyjpegll.JpegError as e:
+            raise InvalidDicomError(
+                f"{path}: lossless JPEG decode failed: {e}") from e
+    return arr
+
+
 def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
     """Replace an _Encapsulated PixelData entry with native-endian bytes."""
     enc = ds_elements.get(_STOP_TAG)
     if not isinstance(enc, _Encapsulated):
         return
-    if ts != "1.2.840.10008.1.2.5":
+    if ts not in (_TS_RLE,) + _TS_JPEGLL:
         raise InvalidDicomError(
             f"{path}: encapsulated PixelData with transfer syntax {ts} "
-            "unsupported (only RLE Lossless 1.2.840.10008.1.2.5 is decoded "
-            "natively; convert JPEG family files with dcm2niix)")
+            "unsupported (RLE Lossless and JPEG Lossless P14/SV1 are decoded "
+            "natively; convert lossy/JPEG-2000 files with dcm2niix)")
     rows = int(ds_elements.get((0x0028, 0x0010)) or 0)
     cols = int(ds_elements.get((0x0028, 0x0011)) or 0)
     bits = int(ds_elements.get((0x0028, 0x0100)) or 16)
     samples = int(ds_elements.get((0x0028, 0x0002)) or 1)
     if not rows or not cols:
-        raise InvalidDicomError(f"{path}: RLE PixelData without Rows/Columns")
-    bps = max(1, bits // 8)
-    frames = [_rle_decode_frame(f, rows, cols, bps, samples)
-              for f in enc.fragments]
+        raise InvalidDicomError(f"{path}: compressed PixelData without Rows/Columns")
+    if ts in _TS_JPEGLL:
+        frames = []
+        for stream in _jpegll_frame_streams(enc.fragments):
+            arr = _jpegll_decode_stream(stream, path)
+            fr, fc = arr.shape[:2]
+            fs = arr.shape[2] if arr.ndim == 3 else 1
+            if (fr, fc, fs) != (rows, cols, samples):
+                raise InvalidDicomError(
+                    f"{path}: JPEG frame {fr}x{fc}x{fs} != dataset "
+                    f"{rows}x{cols}x{samples}")
+            if bits > 8:
+                arr = arr.astype(np.uint16)
+            frames.append(arr)
+    else:
+        bps = max(1, bits // 8)
+        frames = [_rle_decode_frame(f, rows, cols, bps, samples)
+                  for f in enc.fragments]
     stacked = frames[0] if len(frames) == 1 else np.stack(frames)
     ds_elements[_STOP_TAG] = np.ascontiguousarray(stacked).astype(
         stacked.dtype.newbyteorder("<")).tobytes()

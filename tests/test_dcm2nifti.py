@@ -246,6 +246,108 @@ def test_rle_series_to_volume(tmp_path):
     assert vol.spacing == (2.0, 1.5, 3.0)
 
 
+# ------------------------------------------------------------ JPEG Lossless
+def write_test_dicom_jpegll(path, pixel: np.ndarray, *, ipp, te=114.0,
+                            instance=1, series_uid="1.2.3.11",
+                            predictor=1, n_fragments=1):
+    """Single-frame JPEG Lossless Part-10 file (SV1 -> .4.70, else .4.57)."""
+    from fetal_t2mapping_tpu.utils import jpegll
+
+    rows, cols = pixel.shape
+    ts = ("1.2.840.10008.1.2.4.70" if predictor == 1
+          else "1.2.840.10008.1.2.4.57")
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", ts.encode())
+    meta = _el_explicit(0x0002, 0x0000, b"UL",
+                        struct.pack("<I", len(meta_body))) + meta_body
+
+    def s(v):
+        return str(v).encode()
+
+    def ds_list(vals):
+        return "\\".join(f"{v:g}" for v in vals).encode()
+
+    body = b"".join([
+        _el_explicit(0x0008, 0x0060, b"CS", b"MR"),
+        _el_explicit(0x0008, 0x103E, b"LO", b"t2_haste_jll"),
+        _el_explicit(0x0018, 0x0050, b"DS", s(3.0)),
+        _el_explicit(0x0018, 0x0081, b"DS", s(te)),
+        _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode()),
+        _el_explicit(0x0020, 0x0013, b"IS", s(instance)),
+        _el_explicit(0x0020, 0x0032, b"DS", ds_list(ipp)),
+        _el_explicit(0x0020, 0x0037, b"DS", ds_list((1, 0, 0, 0, 1, 0))),
+        _el_explicit(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _el_explicit(0x0028, 0x0030, b"DS", ds_list((1.5, 2.0))),
+        _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+    ])
+    stream = jpegll.encode(np.ascontiguousarray(pixel, np.uint16),
+                           predictor=predictor, precision=16)
+    if len(stream) % 2:
+        stream += b"\x00"
+    # a frame may span several fragments (PS3.5 A.4)
+    cut = max(2, (len(stream) // n_fragments) // 2 * 2)
+    frags = [stream[i:i + cut] for i in range(0, len(stream), cut)] \
+        if n_fragments > 1 else [stream]
+    pd = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pd += struct.pack("<HHI", 0xFFFE, 0xE000, 0)              # empty BOT
+    for fr in frags:
+        pd += struct.pack("<HHI", 0xFFFE, 0xE000, len(fr)) + fr
+    pd += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)              # seq delimiter
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body + pd)
+
+
+def test_jpegll_pixels_roundtrip(tmp_path):
+    rng = np.random.default_rng(12)
+    truth = rng.integers(0, 4000, size=(6, 8)).astype(np.uint16)
+    p = str(tmp_path / "jll.dcm")
+    write_test_dicom_jpegll(p, truth, ipp=(0.0, 0.0, 0.0))
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), "<u2").reshape(6, 8)
+    np.testing.assert_array_equal(arr, truth)
+
+
+def test_jpegll_multifragment_and_process14(tmp_path):
+    rng = np.random.default_rng(13)
+    truth = rng.integers(0, 65535, size=(16, 12)).astype(np.uint16)
+    p = str(tmp_path / "jll57.dcm")
+    write_test_dicom_jpegll(p, truth, ipp=(0.0, 0.0, 0.0), predictor=4,
+                            n_fragments=3)
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), "<u2").reshape(16, 12)
+    np.testing.assert_array_equal(arr, truth)
+
+
+def test_jpegll_series_to_volume(tmp_path):
+    rng = np.random.default_rng(14)
+    truth = rng.integers(0, 4000, size=(3, 6, 8)).astype(np.uint16)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"jll{i}.dcm")
+        write_test_dicom_jpegll(p, truth[i], ipp=(0.0, 0.0, 3.0 * i),
+                                instance=i + 1)
+        paths.append(p)
+    vol, _ = series_to_volume(paths)
+    np.testing.assert_array_equal(np.asarray(vol.data), truth.astype(np.float32))
+    assert vol.spacing == (2.0, 1.5, 3.0)
+
+
+def test_jpegll_python_fallback_path(tmp_path, monkeypatch):
+    # force the pure-Python decode path (native unavailable)
+    from fetal_t2mapping_tpu import native as native_mod
+
+    monkeypatch.setattr(native_mod, "jpegll_decode", lambda data: None)
+    rng = np.random.default_rng(15)
+    truth = rng.integers(0, 4000, size=(6, 8)).astype(np.uint16)
+    p = str(tmp_path / "jllpy.dcm")
+    write_test_dicom_jpegll(p, truth, ipp=(0.0, 0.0, 0.0))
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), "<u2").reshape(6, 8)
+    np.testing.assert_array_equal(arr, truth)
+
+
 def test_jpeg_encapsulated_raises_clear_error(tmp_path):
     # the JPEG family is NOT natively decoded: the error must name the TS
     # and the dcm2niix fallback
