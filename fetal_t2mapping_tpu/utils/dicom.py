@@ -59,6 +59,25 @@ _TAG_NAMES = {
     (0x0018, 0x9112): "MRTimingAndRelatedParametersSequence",
     (0x0018, 0x9114): "MREchoSequence",
     (0x0018, 0x9082): "EffectiveEchoTime",
+    # sequence-parameter summary attributes (utils.ingest.gen_seq_json;
+    # reference utils/dcm_utils.py:369-419)
+    (0x0008, 0x0070): "Manufacturer",
+    (0x0008, 0x0080): "InstitutionName",
+    (0x0008, 0x0081): "InstitutionAddress",
+    (0x0008, 0x1010): "StationName",
+    (0x0008, 0x1030): "StudyDescription",
+    (0x0018, 0x0015): "BodyPartExamined",
+    (0x0018, 0x0023): "MRAcquisitionType",
+    (0x0018, 0x0086): "EchoNumbers",
+    (0x0018, 0x0091): "EchoTrainLength",
+    (0x0018, 0x0095): "PixelBandwidth",
+    (0x0018, 0x1000): "DeviceSerialNumber",
+    (0x0018, 0x1020): "SoftwareVersions",
+    (0x0018, 0x1030): "ProtocolName",
+    (0x0018, 0x9078): "ParallelAcquisitionTechnique",
+    (0x0018, 0x9081): "PartialFourier",
+    (0x0018, 0x9115): "MRModifierSequence",
+    (0x0018, 0x9240): "RFEchoTrainLength",
 }
 _NAME_TO_TAG = {v: k for k, v in _TAG_NAMES.items()}
 
@@ -87,6 +106,10 @@ _IMPLICIT_VRS = {
     (0x0028, 0x0103): b"US",
     (0x0028, 0x1052): b"DS",   # RescaleIntercept
     (0x0028, 0x1053): b"DS",   # RescaleSlope
+    (0x0018, 0x0086): b"IS",   # EchoNumbers
+    (0x0018, 0x0091): b"IS",   # EchoTrainLength
+    (0x0018, 0x0095): b"DS",   # PixelBandwidth
+    (0x0018, 0x9240): b"US",   # RFEchoTrainLength
 }
 
 

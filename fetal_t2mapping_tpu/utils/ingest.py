@@ -206,6 +206,109 @@ def get_metabids(df: pd.DataFrame, keys: Sequence[str], bids_dir: str) -> pd.Dat
     return pd.concat([df.reset_index(drop=True), pd.DataFrame(data)], axis=1)
 
 
+def gen_config_json(df: pd.DataFrame, out_path: str, sr_id: int = 0,
+                    do_anat_orient: bool = True) -> Dict:
+    """Super-resolution toolkit params JSON (reference utils/dcm_utils.py:316-367).
+
+    One entry per (sub, ses) with the stack index list sized to the number
+    of runs in that session; written to ``<out_path>001_params.json`` (the
+    reference's filename convention, kept for drop-in compatibility).
+    Accepts either this framework's prj/sub/ses columns or the reference's
+    sub_id/ses_id.
+    """
+    sub_col = "sub" if "sub" in df.columns else "sub_id"
+    ses_col = "ses" if "ses" in df.columns else "ses_id"
+    output: Dict = {}
+    for (sub, ses), g in df.groupby([sub_col, ses_col]):
+        output.setdefault(sub, []).append({
+            "sr-id": sr_id,
+            "session": ses,
+            "stacks": list(range(1, len(g) + 1)),
+            "custom_interfaces": {"do_anat_orientation": do_anat_orient},
+        })
+    dst = out_path + "001_params.json"
+    with open(dst, "w") as f:
+        json.dump(output, f, indent=4)
+    print(f"JSON structure saved to: {out_path}")
+    return output
+
+
+# sequence-parameter summary keys: (json key, top-level DICOM keyword) —
+# nested functional-group values are resolved separately below
+_SEQ_JSON_KEYS = [
+    ("StudyDate", "StudyDate"), ("Modality", "Modality"),
+    ("MagneticFieldStrength", "MagneticFieldStrength"),
+    ("Manufacturer", "Manufacturer"),
+    ("ManufacturersModelName", "ManufacturerModelName"),
+    ("SoftwareVersions", "SoftwareVersions"),
+    ("StationName", "StationName"),
+    ("DeviceSerialNumber", "DeviceSerialNumber"),
+    ("InstitutionName", "InstitutionName"),
+    ("InstitutionAddress", "InstitutionAddress"),
+    ("StudyDescription", "StudyDescription"),
+    ("SeriesDescription", "SeriesDescription"),
+    ("ProtocolName", "ProtocolName"),
+    ("MRAcquisitionType", "MRAcquisitionType"),
+    ("BodyPartExamined", "BodyPartExamined"),
+    ("NumberOfFrames", "NumberOfFrames"),
+]
+
+
+def _seq_nested(ds, group: str, seq: str, key: str):
+    g = ds.get(group)
+    if not g:
+        return None
+    s = g[0].get(seq) if hasattr(g[0], "get") else None
+    if not s:
+        return None
+    return s[0].get(key) if hasattr(s[0], "get") else None
+
+
+def gen_seq_json(ds, json_file_path: str) -> Dict:
+    """Sequence-parameter summary JSON (reference utils/dcm_utils.py:369-419,
+    marked obsolete there — dcm2niix sidecars superseded it).
+
+    Unlike the reference, missing attributes become null instead of raising
+    AttributeError, so the helper works on any vendor's headers. The
+    private-tag FOV lookup (Siemens 0021,10fe) is skipped for the same
+    reason.
+    """
+    seq = {k: ds.get(a) for k, a in _SEQ_JSON_KEYS}
+    sfg, pfg = "SharedFunctionalGroupsSequence", "PerFrameFunctionalGroupsSequence"
+    seq["ParallelAcquisitionTechnique"] = _seq_nested(
+        ds, sfg, "MRModifierSequence", "ParallelAcquisitionTechnique")
+    seq["PartialFourier"] = _seq_nested(ds, sfg, "MRModifierSequence", "PartialFourier")
+    timing = "MRTimingAndRelatedParametersSequence"
+    seq["Repetition Time"] = _seq_nested(ds, sfg, timing, "RepetitionTime")
+    seq["EchoTrainLength"] = _seq_nested(ds, sfg, timing, "EchoTrainLength")
+    seq["FlipAngle"] = _seq_nested(ds, sfg, timing, "FlipAngle")
+    seq["RFEChoTrainLength"] = _seq_nested(ds, sfg, timing, "RFEchoTrainLength")
+    seq["EchoNumbers"] = _seq_nested(ds, pfg, "MREchoSequence", "EchoNumbers")
+    seq["EffectiveEchoTime"] = _seq_nested(ds, pfg, "MREchoSequence", "EffectiveEchoTime")
+    rows, cols = ds.get("Rows"), ds.get("Columns")
+    seq["Rows"] = str(int(rows)) if rows is not None else None
+    seq["Columns"] = str(int(cols)) if cols is not None else None
+    pm = "PixelMeasuresSequence"
+    seq["SliceThickness"] = _seq_nested(ds, pfg, pm, "SliceThickness") or ds.get("SliceThickness")
+    seq["SpacingBetweenSlices"] = _seq_nested(ds, pfg, pm, "SpacingBetweenSlices")
+    spacing = _seq_nested(ds, pfg, pm, "PixelSpacing")
+    if spacing is None:
+        spacing = ds.get("PixelSpacing")
+    if spacing is not None:
+        spacing = np.atleast_1d(spacing).astype(float)
+        seq["PixelSpacingX"] = float(spacing[0])
+        seq["PixelSpacingY"] = float(spacing[-1])
+
+    def _clean(v):
+        return v.item() if isinstance(v, np.generic) else v
+
+    seq = {k: _clean(v) for k, v in seq.items()}
+    with open(json_file_path, "w") as f:
+        json.dump([seq], f, indent=4)
+    print(f"JSON structure saved to: {json_file_path}")
+    return seq
+
+
 def dcms2csv(csv_path: str, df: pd.DataFrame) -> List[str]:
     """One session-log CSV per (date, dcm_parent) (reference :168-175)."""
     os.makedirs(csv_path, exist_ok=True)

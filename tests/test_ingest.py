@@ -129,3 +129,86 @@ class TestIngest:
         out = get_metabids(df, ["EchoTime", "CoilString"], str(tmp_path / "projects"))
         assert (out["EchoTime"] == 0.114).all()
         assert (out["CoilString"] == "Body").all()
+
+
+class TestSeqJsonHelpers:
+    """gen_config_json / gen_seq_json (reference utils/dcm_utils.py:316-419)."""
+
+    def test_gen_config_json(self, tmp_path):
+        import json
+
+        from fetal_t2mapping_tpu.utils.ingest import gen_config_json
+
+        df = pd.DataFrame({
+            "sub": ["sub-001"] * 3 + ["sub-001"] * 2 + ["sub-002"],
+            "ses": ["ses-01"] * 3 + ["ses-02"] * 2 + ["ses-01"],
+            "run": ["run-01", "run-02", "run-03", "run-01", "run-02", "run-01"],
+        })
+        out = gen_config_json(df, str(tmp_path) + os.sep)
+        assert out["sub-001"][0] == {
+            "sr-id": 0, "session": "ses-01", "stacks": [1, 2, 3],
+            "custom_interfaces": {"do_anat_orientation": True}}
+        assert out["sub-001"][1]["stacks"] == [1, 2]
+        assert out["sub-002"][0]["session"] == "ses-01"
+        on_disk = json.load(open(str(tmp_path / "001_params.json")))
+        assert on_disk == out
+        # reference column names accepted too
+        out2 = gen_config_json(df.rename(columns={"sub": "sub_id", "ses": "ses_id"}),
+                               str(tmp_path) + os.sep)
+        assert out2 == out
+
+    def test_gen_seq_json(self, tmp_path):
+        import json
+
+        from fetal_t2mapping_tpu.utils.ingest import gen_seq_json
+
+        # enhanced-MR style file: shared + per-frame functional groups
+        timing = (_el(0x0018, 0x0080, b"DS", b"1200")
+                  + _el(0x0018, 0x0091, b"IS", b"88")
+                  + _el(0x0018, 0x1314, b"DS", b"120"))
+        modifier = (_el(0x0018, 0x9078, b"CS", b"SENSE")
+                    + _el(0x0018, 0x9081, b"CS", b"YES"))
+        shared = _el(0x5200, 0x9229, b"SQ", _sq_item(
+            _el(0x0018, 0x9112, b"SQ", _sq_item(timing))
+            + _el(0x0018, 0x9115, b"SQ", _sq_item(modifier))))
+        echo = _el(0x0018, 0x9114, b"SQ", _sq_item(
+            _el(0x0018, 0x9082, b"FD", struct.pack("<d", 0.114))))
+        pm = _el(0x0028, 0x9110, b"SQ", _sq_item(
+            _el(0x0028, 0x0030, b"DS", b"0.7\\0.8")
+            + _el(0x0018, 0x0050, b"DS", b"3.0")))
+        perframe = _el(0x5200, 0x9230, b"SQ", _sq_item(echo + pm))
+        body = (
+            _el(0x0008, 0x0020, b"DA", b"20260816")
+            + _el(0x0008, 0x0060, b"CS", b"MR")
+            + _el(0x0008, 0x0070, b"LO", b"SIEMENS")
+            + _el(0x0008, 0x1010, b"SH", b"FREEMAX")
+            + _el(0x0008, 0x1030, b"LO", b"qMRI study")
+            + _el(0x0018, 0x0023, b"CS", b"2D")
+            + _el(0x0018, 0x0087, b"DS", b"0.55")
+            + _el(0x0018, 0x1030, b"LO", b"t2_haste_tra")
+            + _el(0x0028, 0x0010, b"US", struct.pack("<H", 320))
+            + _el(0x0028, 0x0011, b"US", struct.pack("<H", 260))
+            + shared + perframe
+        )
+        ts = b"1.2.840.10008.1.2.1\x00"
+        meta_el = _el(0x0002, 0x0010, b"UI", ts)
+        glen = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_el)))
+        p = str(tmp_path / "enh.dcm")
+        with open(p, "wb") as f:
+            f.write(b"\x00" * 128 + b"DICM" + glen + meta_el + body)
+
+        jp = str(tmp_path / "seq.json")
+        seq = gen_seq_json(read_dcm(p), jp)
+        assert seq["Manufacturer"] == "SIEMENS"
+        assert seq["StationName"] == "FREEMAX"
+        assert seq["MRAcquisitionType"] == "2D"
+        assert seq["ParallelAcquisitionTechnique"] == "SENSE"
+        assert seq["PartialFourier"] == "YES"
+        assert float(seq["Repetition Time"]) == 1200.0
+        assert int(seq["EchoTrainLength"]) == 88
+        assert seq["EffectiveEchoTime"] == pytest.approx(0.114)
+        assert seq["Rows"] == "320" and seq["Columns"] == "260"
+        assert float(seq["SliceThickness"]) == 3.0
+        assert seq["PixelSpacingX"] == 0.7 and seq["PixelSpacingY"] == 0.8
+        assert seq["SoftwareVersions"] is None   # absent -> null, no raise
+        assert json.load(open(jp))[0]["Manufacturer"] == "SIEMENS"
