@@ -4,12 +4,19 @@ Host-side orchestration equivalent of the reference's ``process_t2maps``
 (run_t2mapping.py:333-479): per (prj, sub, ses) load the recon + mask
 (+ phantom label) volumes for the selected TEs, build an EchoStack, run the
 device fit, then write maps, convergence figures and the phantom ROI CSV.
+
+Multi-session runs are stage-pipelined (the PP analogue this workload
+admits, SURVEY §2): while the device fits session *i*, a host thread
+prefetches session *i+1*'s echo stack (native threaded zlib inflate), so
+fleet runs hide host IO behind device compute. The reference runs stages
+strictly sequentially (run_qmri_reconstruction.py:8-34).
 """
 
 from __future__ import annotations
 
 import logging
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import numpy as np
@@ -31,6 +38,50 @@ def set_ada_path(bids_path: str, prj: str) -> str:
     return mk_bids_dir(bids_path, prj, "ada", "convergence_analysis")
 
 
+def _enumerate_sessions(metadata: pd.DataFrame, bids_path: str,
+                        tes: Sequence[int], phantom: bool) -> list:
+    """Validation pass: one job dict per fit-able (prj, sub, ses).
+
+    Applies the reference's skip semantics up front (TE completeness,
+    run_t2mapping.py:388-390; derivatives present) so the prefetcher only
+    ever loads sessions that will actually be fitted.
+    """
+    jobs = []
+    for prj, prj_md in metadata.groupby("prj"):
+        for (sub, ses), sub_md in prj_md.groupby(["sub", "ses"]):
+            acq = None
+            te_found, recon_paths, mask_paths = [], [], []
+            for echotime, te_md in sub_md.groupby("EchoTime"):
+                acq = te_md.iloc[0]
+                te_found.append(round(echotime * 1000))
+                recon_paths.append(get_img_path(bids_path, acq, C.RECON_DIRNAME))
+                mask_paths.append(get_img_path(bids_path, acq, C.MASK_DIRNAME))
+            if sorted(te_found) != sorted(list(tes)):
+                log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
+                            sub, ses, te_found, list(tes))
+                continue
+            missing = [p for p in recon_paths + mask_paths if not os.path.exists(p)]
+            if missing:
+                log.warning("derivatives missing for %s_%s (run the recon stage "
+                            "first): %s; skipped", sub, ses, missing[0])
+                continue
+            label_path = (get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME)
+                          if phantom else None)
+            jobs.append({"prj": prj, "sub": sub, "ses": ses, "acq": acq,
+                         "te_found": te_found, "recon_paths": recon_paths,
+                         "mask_paths": mask_paths, "label_path": label_path})
+    return jobs
+
+
+def _load_session(job: dict):
+    """Host IO for one session: parallel-inflate the whole echo stack."""
+    n = len(job["recon_paths"])
+    with profiler.stage("t2map.load", items=2 * n):
+        loaded = nifti.read_batch(job["recon_paths"] + job["mask_paths"])
+    label_vol = nifti.read(job["label_path"]) if job["label_path"] else None
+    return loaded[:n], loaded[n:], label_vol
+
+
 def process_t2maps(
     metadata: pd.DataFrame,
     bids_path: str,
@@ -42,87 +93,87 @@ def process_t2maps(
     fast: bool = False,
     sim: str = "0",
     make_plots: bool = True,
+    prefetch: bool = True,
 ) -> list:
     """Fit every (prj, sub, ses) in the metadata; returns per-session summaries.
 
     Args mirror the reference CLI semantics: ``phantom`` loads sphere labels
     and writes the ROI CSV; ``fast`` restricts the fit to labeled voxels
     (run_t2mapping.py:393-400); sessions missing any selected TE are skipped
-    with a warning (:388-390).
+    with a warning (:388-390). ``prefetch=False`` disables the load/fit
+    overlap (e.g. on memory-tight hosts: it holds two echo stacks at once).
     """
     tes = list(tes)
     tes_in_seconds = [t / 1000.0 for t in tes]
     metadata = metadata[metadata["EchoTime"].isin(tes_in_seconds)]
+    jobs = _enumerate_sessions(metadata, bids_path, tes, phantom)
+    if not jobs:
+        return []
+
     summaries = []
-
-    for prj, prj_md in metadata.groupby("prj"):
-        ada_path = set_ada_path(bids_path, prj)
-        for (sub, ses), sub_md in prj_md.groupby(["sub", "ses"]):
-            label_vol = None
-            acq = None
-            te_found, recon_paths, mask_paths = [], [], []
-            for echotime, te_md in sub_md.groupby("EchoTime"):
-                acq = te_md.iloc[0]
-                te_found.append(round(echotime * 1000))
-                recon_paths.append(get_img_path(bids_path, acq, C.RECON_DIRNAME))
-                mask_paths.append(get_img_path(bids_path, acq, C.MASK_DIRNAME))
-            if sorted(te_found) != sorted(tes):
-                log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
-                            sub, ses, te_found, tes)
-                continue
-            missing = [p for p in recon_paths + mask_paths if not os.path.exists(p)]
-            if missing:
-                log.warning("derivatives missing for %s_%s (run the recon stage "
-                            "first): %s; skipped", sub, ses, missing[0])
-                continue
-            with profiler.stage("t2map.load", items=2 * len(recon_paths)):
-                # the whole echo stack inflates in parallel (native thread pool)
-                loaded = nifti.read_batch(recon_paths + mask_paths)
-            recons = loaded[: len(recon_paths)]
-            masks = loaded[len(recon_paths):]
-            if phantom:
-                label_vol = nifti.read(
-                    get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME))
-
-            stack = EchoStack.from_volumes(recons, masks, te_found)
-            if phantom and fast:
-                # ROI-only fast mode: mask out everything unlabeled
-                stack = EchoStack(
-                    signal=stack.signal,
-                    mask=stack.mask & (np.asarray(label_vol.data) > 0),
-                    tes=stack.tes,
-                    geometry=stack.geometry,
-                )
-
-            log.info("T2 mapping %s_%s_%s: grid %s, %d voxels, TEs %s, model %s",
-                     prj, sub, ses, stack.grid_shape, int(stack.mask.sum()),
-                     te_found, cfg.model)
-            with profiler.stage("t2map.fit", items=int(stack.mask.sum())):
-                out = fit_stack(stack, cfg)
-            log.info("fit done in %.3f s (%.0f voxels/s)", out.fit_seconds,
-                     out.n_voxels / max(out.fit_seconds, 1e-9))
-
-            with profiler.stage("t2map.save"):
-                map_paths = save_nifti_maps(out, bids_path, acq, C.T2MAP_DIRNAME, sim, cfg.model)
-
-            if make_plots:
-                m = stack.mask
-                save_convergence_plots(
-                    ada_path, out.traces, out.trace_t2,
-                    out.n_iter.data[m], out.fun.data[m], out.t2.data[m],
-                    sub, ses, sim, cfg.model)
-
-            csv_path = None
-            if phantom:
-                gt, ids = C.phantom_gt(low_field)
-                csv_path = save_phantom_csv(out, label_vol, ids, gt, bids_path, acq,
-                                            C.T2MAP_DIRNAME, sim, cfg.model)
-
-            summaries.append({
-                "prj": prj, "sub": sub, "ses": ses,
-                "n_voxels": out.n_voxels,
-                "fit_seconds": out.fit_seconds,
-                "converged_frac": float(out.converged.data[stack.mask].mean()),
-                "maps": map_paths, "roi_csv": csv_path,
-            })
+    ex = ThreadPoolExecutor(max_workers=1) if prefetch and len(jobs) > 1 else None
+    try:
+        pending = ex.submit(_load_session, jobs[0]) if ex else None
+        for i, job in enumerate(jobs):
+            recons, masks, label_vol = (pending.result() if pending
+                                        else _load_session(job))
+            if ex and i + 1 < len(jobs):
+                pending = ex.submit(_load_session, jobs[i + 1])
+            else:
+                pending = None
+            summaries.append(_fit_one(job, recons, masks, label_vol, bids_path,
+                                      cfg, phantom=phantom, low_field=low_field,
+                                      fast=fast, sim=sim, make_plots=make_plots))
+    finally:
+        if ex:
+            ex.shutdown(wait=True)
     return summaries
+
+
+def _fit_one(job: dict, recons, masks, label_vol, bids_path: str,
+             cfg: C.FitConfig, *, phantom: bool, low_field: bool, fast: bool,
+             sim: str, make_plots: bool) -> dict:
+    prj, sub, ses, acq = job["prj"], job["sub"], job["ses"], job["acq"]
+    te_found = job["te_found"]
+    stack = EchoStack.from_volumes(recons, masks, te_found)
+    if phantom and fast:
+        # ROI-only fast mode: mask out everything unlabeled
+        stack = EchoStack(
+            signal=stack.signal,
+            mask=stack.mask & (np.asarray(label_vol.data) > 0),
+            tes=stack.tes,
+            geometry=stack.geometry,
+        )
+
+    log.info("T2 mapping %s_%s_%s: grid %s, %d voxels, TEs %s, model %s",
+             prj, sub, ses, stack.grid_shape, int(stack.mask.sum()),
+             te_found, cfg.model)
+    with profiler.stage("t2map.fit", items=int(stack.mask.sum())):
+        out = fit_stack(stack, cfg)
+    log.info("fit done in %.3f s (%.0f voxels/s)", out.fit_seconds,
+             out.n_voxels / max(out.fit_seconds, 1e-9))
+
+    with profiler.stage("t2map.save"):
+        map_paths = save_nifti_maps(out, bids_path, acq, C.T2MAP_DIRNAME, sim, cfg.model)
+
+    if make_plots:
+        ada_path = set_ada_path(bids_path, prj)
+        m = stack.mask
+        save_convergence_plots(
+            ada_path, out.traces, out.trace_t2,
+            out.n_iter.data[m], out.fun.data[m], out.t2.data[m],
+            sub, ses, sim, cfg.model)
+
+    csv_path = None
+    if phantom:
+        gt, ids = C.phantom_gt(low_field)
+        csv_path = save_phantom_csv(out, label_vol, ids, gt, bids_path, acq,
+                                    C.T2MAP_DIRNAME, sim, cfg.model)
+
+    return {
+        "prj": prj, "sub": sub, "ses": ses,
+        "n_voxels": out.n_voxels,
+        "fit_seconds": out.fit_seconds,
+        "converged_frac": float(out.converged.data[stack.mask].mean()),
+        "maps": map_paths, "roi_csv": csv_path,
+    }

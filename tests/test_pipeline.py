@@ -33,7 +33,7 @@ GT_LF = [594, 416, 284, 221, 167, 122, 80, 53, 41]
 K_TRUE = 650.0
 
 
-def _make_phantom_tree(root):
+def _make_phantom_tree(root, subs=("sub-001",)):
     """Synthesize recon + mask derivatives and the metadata log."""
     bids = os.path.join(root, "projects/")
     logs = os.path.join(root, "dicom/logs/")
@@ -47,14 +47,17 @@ def _make_phantom_tree(root):
     mask = (labels > 0).astype(np.uint8)
 
     rows = []
-    for te in TES:
-        acq = {"prj": "prj-003", "sub": "sub-001", "ses": "ses-01",
-               "run": f"run-{te}", "EchoTime": te / 1000.0,
-               "ImageOrientationPatientSTR": "ax", "CoilString": "Body"}
-        sig = np.where(mask > 0, K_TRUE * np.exp(-te / np.maximum(t2_map, 1e-3)), 0.0)
-        nifti.write(get_img_path(bids, acq, C.RECON_DIRNAME), geom.with_data(sig.astype(np.float32)))
-        nifti.write(get_img_path(bids, acq, C.MASK_DIRNAME), geom.with_data(mask))
-        rows.append(acq)
+    for si, sub in enumerate(subs):
+        for te in TES:
+            acq = {"prj": "prj-003", "sub": sub, "ses": "ses-01",
+                   "run": f"run-{te}", "EchoTime": te / 1000.0,
+                   "ImageOrientationPatientSTR": "ax", "CoilString": "Body"}
+            sig = np.where(mask > 0,
+                           (K_TRUE + 10.0 * si) * np.exp(-te / np.maximum(t2_map, 1e-3)),
+                           0.0)
+            nifti.write(get_img_path(bids, acq, C.RECON_DIRNAME), geom.with_data(sig.astype(np.float32)))
+            nifti.write(get_img_path(bids, acq, C.MASK_DIRNAME), geom.with_data(mask))
+            rows.append(acq)
     pd.DataFrame(rows).to_csv(os.path.join(logs, "synthetic.csv"), index=False)
     return bids, logs, labels
 
@@ -97,6 +100,27 @@ class TestPhantomPipeline:
         # convergence figures written
         ada = os.path.join(bids, "prj-003/ada/convergence_analysis")
         assert len(os.listdir(ada)) == 3
+
+    def test_prefetch_pipelining_matches_sequential(self, tmp_path):
+        # multi-session fleet run: one-ahead host prefetch (the PP analogue,
+        # SURVEY §2) must be invisible in the outputs
+        subs = ("sub-001", "sub-002", "sub-003")
+        root_a = str(tmp_path / "a"); root_b = str(tmp_path / "b")
+        bids_a, logs_a, _ = _make_phantom_tree(root_a, subs=subs)
+        bids_b, logs_b, _ = _make_phantom_tree(root_b, subs=subs)
+        cfg = C.fit_config("gaussian", low_field=True)
+        md_a = set_metadata(logs_a, ["synthetic.csv"], low_field=True)
+        md_b = set_metadata(logs_b, ["synthetic.csv"], low_field=True)
+        sum_pre = process_t2maps(md_a, bids_a, TES, cfg, sim="t",
+                                 make_plots=False, prefetch=True)
+        sum_seq = process_t2maps(md_b, bids_b, TES, cfg, sim="t",
+                                 make_plots=False, prefetch=False)
+        assert [s["sub"] for s in sum_pre] == list(subs)
+        assert [s["n_voxels"] for s in sum_pre] == [s["n_voxels"] for s in sum_seq]
+        for sa, sb in zip(sum_pre, sum_seq):
+            ta = nifti.read(sa["maps"]["t2"]).data
+            tb = nifti.read(sb["maps"]["t2"]).data
+            np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
 
     def test_missing_te_skips_session(self, tmp_path):
         root = str(tmp_path / "qMRI")
