@@ -14,10 +14,12 @@ workstation (reference run_t2mapping.py:440-442, "~2-3 minutes"). Treating
 that generously as the full 256^3 = 16.7M voxels gives a baseline rate of
 16.7e6/150 ~ 1.12e5 voxels/s; vs_baseline = our_rate / baseline_rate.
 
-The timed path is the fused Pallas kernel (models.pallas_fit.fit_fused):
-log-linear init + damped projected-Newton loop entirely in VMEM, with
-on-device multi-round straggler compaction (n_overflow reports any voxel
-the escalation could not cover — expected 0). Accuracy is asserted against
+The timed path is the fused Pallas kernel (models.pallas_fit.fit_fused,
+strategy='single'): log-linear init + the FULL damped projected-Newton
+budget entirely in VMEM, one kernel pass, per-block early exit — no
+compaction traffic (measured: the two-phase merge scatter alone costs
+~85 ms at 256^3; the single-phase kernel does the whole job in ~104 ms).
+n_overflow is structurally 0 on this path. Accuracy is asserted against
 the scipy curve_fit oracle on a subsample before timing counts; all large
 arrays stay on device (only scalars and the 256-voxel subsample cross the
 host link).

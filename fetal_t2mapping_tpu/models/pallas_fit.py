@@ -19,14 +19,28 @@ over ``multiprocessing.Pool(20)`` (reference run_t2mapping.py:120-312,
 442-443). Semantics (bounds projection, ftol/stall convergence tests,
 last-iterate-on-failure) mirror models.solver._make_voxel_step.
 
-Two-phase driver ``fit_fused``: a short phase-1 pass over all voxels, then a
-fully on-device compaction (cumsum + drop-scatter, no host sync — a host
-round trip costs more than the whole fit) gathers the unconverged tail into
-a small buffer for the remaining iteration budget. The compaction+refit
-escalates for up to ``tail_rounds`` rounds (a lax.while_loop, so one kernel
-instance and zero launches when phase 1 converges everything); any voxels
-still beyond capacity are counted in ``FitResult.n_overflow`` rather than
-silently keeping phase-1 iterates unreported.
+Driver ``fit_fused`` has two strategies (resolve_strategy picks by the
+measured crossover):
+
+* ``single`` (gaussian default at reference budgets): ONE kernel pass with
+  the full iteration budget. Each (BR, 128) block's while_loop exits as
+  soon as all its voxels converge, so clean blocks cost what a short pass
+  would and straggler blocks iterate privately in VMEM. No
+  partition/gather/scatter traffic exists at all — at 256^3 x 3 TEs this
+  is ~104 ms vs ~165 ms for the two-phase path (the merge scatter alone is
+  ~85 ms: TPU scatters serialize over update rows).
+* ``twophase`` (3-param default): a short phase-1 pass over all voxels,
+  then a fully on-device compaction (stable sort partition, no host sync —
+  a host round trip costs more than the whole fit) gathers the unconverged
+  tail into a small buffer for the remaining budget, escalating for up to
+  ``tail_rounds`` rounds; voxels still beyond capacity are counted in
+  ``FitResult.n_overflow``. Wins when the per-straggler-iteration cost of
+  running the WHOLE batch exceeds the fixed compaction traffic — i.e. for
+  large budgets, or for the 3x-heavier multistart kernels (measured:
+  gaussian_rician 335 ms twophase vs 680 ms single at 256^3).
+
+Both strategies produce bit-identical parameters (same start, same damped
+Newton recurrence, same per-voxel budget).
 """
 
 from __future__ import annotations
@@ -579,14 +593,58 @@ def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
                        interpret=interpret)
 
 
+def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
+                     model: str = "gaussian") -> str:
+    """'auto' -> 'single' | 'twophase'.
+
+    Measured on one TPU chip at 256^3 x 3 TEs: the two-phase compaction
+    machinery (stable sort over N + capacity-row gather + the
+    row-serialized merge scatter) costs ~130 ms ≈ 7.8 ns/voxel, while one
+    extra kernel iteration over the full batch costs ~87.5 ps/voxel for the
+    gaussian body — so compaction only pays once the straggler budget
+    exceeds ~90 iterations. At the reference's budgets (<= 60,
+    run_t2mapping.py:38-106) the single-phase kernel with per-block VMEM
+    early exit wins outright for gaussian (130 vs 165 ms) and produces
+    bit-identical results (same start, same Newton steps).
+
+    The 3-parameter kernels run the folded 3-start multistart with a ~3x
+    heavier Newton body, so one straggler iteration over the full batch
+    costs ~3.5x more and the crossover drops to ~25 iterations — at the
+    production budgets (phase1 10 / max 60) TWOPHASE wins for them
+    (measured: gaussian_rician 335 ms twophase vs 680 ms single).
+    """
+    if strategy != "auto":
+        return strategy
+    crossover = 90 if model == "gaussian" else 25
+    return "single" if max_iters - phase1_iters <= crossover else "twophase"
+
+
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
-    "gtol", "tail_frac", "no_prior", "tail_rounds", "interpret"))
+    "gtol", "tail_frac", "no_prior", "tail_rounds", "interpret", "strategy"))
 def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
                     max_iters, ftol, gtol, tail_frac, no_prior, interpret,
-                    tail_rounds=2):
+                    tail_rounds=2, strategy="twophase"):
     n = signal.shape[0]
     tiles, n_pad = _to_tiles(signal, n)
+
+    if strategy == "single":
+        # Every voxel gets the full budget in ONE kernel: blocks whose
+        # voxels all converge exit their while_loop early, so clean blocks
+        # cost what phase 1 alone would, and no sort/gather/scatter traffic
+        # exists at all. n_overflow is structurally zero (nothing is ever
+        # capacity-dropped).
+        params, stats = _run_tiles(
+            tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
+            max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
+            interpret=interpret)
+        x = _from_tiles(params, n)
+        st = stats.reshape(3, -1)
+        return FitResult(x=x, fun=st[0, :n], converged=st[1, :n] > 0.5,
+                         n_iter=st[2, :n].astype(jnp.int32),
+                         n_overflow=jnp.asarray(0, jnp.int32))
+
+    # strategy == "twophase": short lock-step pass, then compact stragglers.
     params1, stats1 = _run_tiles(
         tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
         max_iters=phase1_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
@@ -690,8 +748,9 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               phase1_iters: int = 10, max_iters: int = 60, ftol: float = 1e-9,
               gtol: float = 0.0, tail_frac: float = 0.0625,
               tail_rounds: int = 2, no_prior: bool = False,
-              interpret: bool | None = None) -> FitResult:
-    """Two-phase fused-kernel fit of every voxel in the batch.
+              interpret: bool | None = None,
+              strategy: str = "auto") -> FitResult:
+    """Fused-kernel fit of every voxel in the batch.
 
     Args:
         signal: (N, T) float32 voxel signals.
@@ -704,13 +763,20 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
             non-convex — mirroring models.t2map's host multistart.
         guess: protocol initial parameters for the multistart's third start
             (FitConfig.initial_guess); defaults to the bound midpoint.
-        phase1_iters: lock-step budget for the full batch.
-        max_iters: total budget for the compacted unconverged tail.
+        phase1_iters: lock-step budget for the full batch (twophase only).
+        max_iters: total per-voxel iteration budget.
         gtol: projected-gradient stopping threshold (0 = disabled).
-        tail_frac: tail buffer capacity as a fraction of N.
+        tail_frac: tail buffer capacity as a fraction of N (twophase only).
         tail_rounds: max straggler compaction+refit rounds (each covers one
             capacity-sized buffer); unconverged voxels beyond all rounds
-            keep phase-1 results and are counted in ``FitResult.n_overflow``.
+            keep phase-1 results and are counted in ``FitResult.n_overflow``
+            (twophase only).
+        strategy: 'single' runs one full-budget kernel with per-block VMEM
+            early exit (no compaction traffic; n_overflow always 0);
+            'twophase' runs the short lock-step pass + straggler
+            compaction/refit rounds; 'auto' (default) picks by the measured
+            crossover (see resolve_strategy — single wins up to ~90
+            straggler iterations). Both produce bit-identical parameters.
         no_prior: gaussian only — per-voxel k lower bound = the voxel's
             signal at the shortest TE (reference run_t2mapping.py:243-245);
             pass the scalar no-prior box in lo/hi (k upper 10000, T2 10..2000).
@@ -729,7 +795,8 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
         signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
-        interpret=bool(interpret))
+        interpret=bool(interpret),
+        strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))
     # Drain the pipeline with a scalar host read before returning: on a
     # tunneled chip, transferring from a still-in-flight pallas result can
     # stall the transport for minutes (observed), while a 4-byte scalar sync

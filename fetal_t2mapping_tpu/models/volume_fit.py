@@ -41,10 +41,10 @@ class VolumeFitResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
-    "gtol", "tail_frac", "no_prior", "mask_frac", "interpret"))
+    "gtol", "tail_frac", "no_prior", "mask_frac", "interpret", "strategy"))
 def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
                      max_iters, ftol, gtol, tail_frac, no_prior, mask_frac,
-                     interpret):
+                     interpret, strategy="single"):
     zyx = signal.shape[:3]
     n = zyx[0] * zyx[1] * zyx[2]
     t_axis = signal.shape[3]
@@ -59,7 +59,8 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
     res = _fit_fused_impl(
         batch, model=model, te=te, lo=lo, hi=hi, guess=guess,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
-        tail_frac=tail_frac, no_prior=no_prior, interpret=interpret)
+        tail_frac=tail_frac, no_prior=no_prior, interpret=interpret,
+        strategy=strategy)
 
     valid = jnp.arange(capacity) < n_sel
     safe_idx = jnp.where(valid, idx, n)                # n -> dropped
@@ -112,7 +113,8 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
                max_iters: int = 60, ftol: float = 1e-9, gtol: float = 0.0,
                tail_frac: float = 0.0625, no_prior: bool = False,
                mask_frac: float = 0.25,
-               interpret: bool | None = None) -> VolumeFitResult:
+               interpret: bool | None = None,
+               strategy: str = "auto") -> VolumeFitResult:
     """Fit every masked voxel of a (Z, Y, X, T) echo volume on device.
 
     One jitted program: device mask compaction -> fused Pallas fit ->
@@ -150,8 +152,11 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
             f"the fit buffer at {capacity}: {n_masked - capacity} voxels will "
             f"be left unfitted (n_overflow); raise mask_frac to "
             f">= {_min_mask_frac(n, n_masked):.6f}", stacklevel=2)
+    from .pallas_fit import resolve_strategy
+
     return _fit_volume_impl(
         signal, mask, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, mask_frac=float(mask_frac),
-        interpret=bool(interpret))
+        interpret=bool(interpret),
+        strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))

@@ -70,19 +70,22 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
                       guess=None, phase1_iters: int = 10, max_iters: int = 60,
                       ftol: float = 1e-9, gtol: float = 0.0,
                       tail_frac: float = 0.0625, tail_rounds: int = 2,
-                      no_prior: bool = False, interpret=None):
-    """Multi-chip fused-kernel fit: shard_map of the whole two-phase pipeline.
+                      no_prior: bool = False, interpret=None,
+                      strategy: str = "auto"):
+    """Multi-chip fused-kernel fit: shard_map of the whole fused pipeline.
 
-    The fit is voxel-elementwise and the straggler compaction/escalation is
-    done PER SHARD, so the entire solve — Pallas kernels, tail partition,
-    refit rounds, merge — runs with zero inter-chip communication except a
-    single scalar ``psum`` folding the per-shard capacity-overflow counts
-    into one global ``n_overflow``. The leading axis must be divisible by
-    the mesh size (pad_to_devices).
+    The fit is voxel-elementwise and everything data-dependent (per-block
+    early exit in 'single' strategy; straggler compaction/escalation in
+    'twophase') happens PER SHARD, so the entire solve runs with zero
+    inter-chip communication except a single scalar ``psum`` folding the
+    per-shard capacity-overflow counts into one global ``n_overflow``
+    (always 0 under 'single'). The leading axis must be divisible by the
+    mesh size (pad_to_devices).
     """
     import functools
 
-    from ..models.pallas_fit import _fit_fused_impl, validate_fused_args
+    from ..models.pallas_fit import (
+        _fit_fused_impl, resolve_strategy, validate_fused_args)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -96,7 +99,8 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
         lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
-        interpret=bool(interpret))
+        interpret=bool(interpret),
+        strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))
 
     from ..models.solver import FitResult
 

@@ -228,12 +228,12 @@ def test_tail_escalation_covers_overflow():
     tail_frac = 128 / 1024  # n pads to 1024 tile rows -> capacity 128
 
     r1 = fit_fused(sig, TES, LO, HI, phase1_iters=0, max_iters=40,
-                   tail_frac=tail_frac, tail_rounds=1)
+                   tail_frac=tail_frac, tail_rounds=1, strategy="twophase")
     assert int(r1.n_overflow) == 512 - 128
     assert int(np.asarray(r1.converged).sum()) == 128
 
     r4 = fit_fused(sig, TES, LO, HI, phase1_iters=0, max_iters=40,
-                   tail_frac=tail_frac, tail_rounds=4)
+                   tail_frac=tail_frac, tail_rounds=4, strategy="twophase")
     assert int(r4.n_overflow) == 0
     assert np.asarray(r4.converged).all()
     rel = np.abs(np.asarray(r4.x)[:, 1] - t2) / t2
@@ -241,7 +241,7 @@ def test_tail_escalation_covers_overflow():
 
     # escalated == single big-buffer fit, voxel for voxel
     r_ref = fit_fused(sig, TES, LO, HI, phase1_iters=0, max_iters=40,
-                      tail_frac=1.0, tail_rounds=1)
+                      tail_frac=1.0, tail_rounds=1, strategy="twophase")
     np.testing.assert_allclose(np.asarray(r4.x), np.asarray(r_ref.x),
                                rtol=1e-6, atol=1e-6)
 
@@ -250,3 +250,31 @@ def test_fused_default_has_zero_overflow():
     sig, _, _ = _synthetic(2048, noise=4.0, seed=3)
     r = fit_fused(sig, TES, LO, HI)
     assert int(r.n_overflow) == 0
+
+
+def test_fused_strategies_bit_identical():
+    # 'single' (one full-budget kernel, per-block early exit) and 'twophase'
+    # (compaction + refit) must agree voxel for voxel: same start, same
+    # Newton recurrence, same per-voxel budget
+    sig, _, _ = _synthetic(2048, noise=6.0, seed=7)
+    r_s = fit_fused(sig, TES, LO, HI, phase1_iters=10, max_iters=40,
+                    strategy="single")
+    r_t = fit_fused(sig, TES, LO, HI, phase1_iters=10, max_iters=40,
+                    strategy="twophase", tail_frac=1.0)
+    np.testing.assert_array_equal(np.asarray(r_s.x), np.asarray(r_t.x))
+    np.testing.assert_array_equal(np.asarray(r_s.converged),
+                                  np.asarray(r_t.converged))
+    np.testing.assert_array_equal(np.asarray(r_s.n_iter), np.asarray(r_t.n_iter))
+    assert int(r_s.n_overflow) == 0
+
+    # auto resolution: reference budgets -> single; huge straggler budget
+    # -> twophase
+    from fetal_t2mapping_tpu.models.pallas_fit import resolve_strategy
+
+    assert resolve_strategy("auto", 10, 60) == "single"
+    assert resolve_strategy("auto", 10, 300) == "twophase"
+    assert resolve_strategy("single", 10, 300) == "single"
+    # 3-param kernels (folded 3-start multistart, ~3x body) cross over much
+    # earlier: production budgets stay twophase
+    assert resolve_strategy("auto", 10, 60, "rician") == "twophase"
+    assert resolve_strategy("auto", 10, 30, "gaussian_rician") == "single"

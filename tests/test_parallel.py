@@ -102,7 +102,8 @@ class TestAdversarialSharding:
         n = pad_to_devices(2000, mesh, lane=128)
         s, te = self._skewed_signals(n)
         lo, hi = (0.0, 10.0), (1e6, 2000.0)
-        kw = dict(phase1_iters=6, max_iters=40, tail_frac=0.02, tail_rounds=2)
+        kw = dict(phase1_iters=6, max_iters=40, tail_frac=0.02, tail_rounds=2,
+                  strategy="twophase")  # pin: this test targets compaction
         sharded = fit_fused_sharded(s, tuple(te.tolist()), lo, hi, mesh=mesh, **kw)
         single = fit_fused(s, tuple(te.tolist()), lo, hi, **kw)
 
@@ -131,7 +132,8 @@ class TestAdversarialSharding:
         n = pad_to_devices(2000, mesh, lane=128)
         s, te = self._skewed_signals(n)
         lo, hi = (0.0, 10.0), (1e6, 2000.0)
-        kw = dict(phase1_iters=6, max_iters=40, tail_frac=0.5, tail_rounds=3)
+        kw = dict(phase1_iters=6, max_iters=40, tail_frac=0.5, tail_rounds=3,
+                  strategy="twophase")  # pin: this test targets compaction
         sharded = fit_fused_sharded(s, tuple(te.tolist()), lo, hi, mesh=mesh, **kw)
         single = fit_fused(s, tuple(te.tolist()), lo, hi, **kw)
         assert int(sharded.n_overflow) == 0 and int(single.n_overflow) == 0
