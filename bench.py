@@ -206,6 +206,69 @@ def run_model(model, tes, *, headline=False):
     return record, dt, mean_iters
 
 
+def run_volume_serving():
+    """Serving-path row: fit_volume on a 240^3 stack with an ellipsoid
+    'brain' mask — ONE jitted program (device mask compaction -> fused fit
+    -> packed dense-map scatter). Data is generated ON DEVICE (a 166 MB
+    host upload would time the tunnel, not the chip)."""
+    import jax
+    import jax.numpy as jnp
+    from fetal_t2mapping_tpu.models.volume_fit import fit_volume
+
+    n_side, te = 240, TES3
+    te_arr = jnp.asarray(te, jnp.float32)
+
+    @jax.jit
+    def make_data(key):
+        kk, kt, kn = jax.random.split(key, 3)
+        shape = (n_side, n_side, n_side)
+        k = jax.random.uniform(kk, shape, jnp.float32, 600.0, 5000.0)
+        t2 = jax.random.uniform(kt, shape, jnp.float32, 20.0, 500.0)
+        sig = k[..., None] * jnp.exp(-te_arr / t2[..., None])
+        sig = jnp.maximum(sig + 8.0 * jax.random.normal(kn, sig.shape), 1e-2)
+        ax = (jnp.arange(n_side, dtype=jnp.float32) - (n_side - 1) / 2) / (n_side / 2)
+        zz, yy, xx = jnp.meshgrid(ax, ax, ax, indexing="ij")
+        mask = (zz / 0.75) ** 2 + (yy / 0.85) ** 2 + (xx / 0.65) ** 2 <= 1.0
+        return sig, mask, t2
+
+    sig, mask, t2 = make_data(jax.random.PRNGKey(0))
+    fit = lambda: fit_volume(sig, mask, te, (0.0, 10.0), (1e6, 2000.0),
+                             model="gaussian", mask_frac=0.23)
+    res = fit()
+    n_masked = int(res.n_masked)
+    m = mask
+    med_rel = float(jnp.median(jnp.abs(res.t2[m] - t2[m]) / t2[m]))
+    conv = float(jnp.mean(res.converged[m].astype(jnp.float32)))
+    assert int(res.n_overflow) == 0
+    if med_rel > 5e-2:
+        print(f"serving accuracy gate FAILED: median rel T2 err {med_rel:.2e}",
+              file=sys.stderr)
+        raise SystemExit(1)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fit() for _ in range(4)]
+        import jax.numpy as jnp2
+        float(sum(jnp2.mean(o.fun) for o in outs))
+        times.append((time.perf_counter() - t0) / 4)
+    dt = float(np.median(times))
+    rate = n_masked / dt
+    print(f"# 240^3 serving fit_volume: {dt*1e3:.1f} ms end-to-end, "
+          f"{n_masked} masked voxels, conv {conv:.4f}, med rel err "
+          f"{med_rel:.2e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "t2fit_volume_serving_voxels_per_sec",
+        "value": round(rate, 1),
+        "unit": "masked voxels/s (240^3 grid, ellipsoid mask, one jitted "
+                "compact->fit->scatter program)",
+        "vs_baseline": round(rate / BASELINE_VOXELS_PER_SEC, 2),
+        "median_rel_t2_err_vs_truth": float(f"{med_rel:.3g}"),
+        "converged": round(conv, 4),
+        "n_overflow": 0,
+    }))
+    sys.stdout.flush()
+
+
 def main(only=None):
     import jax
     import jax.numpy as jnp
@@ -219,6 +282,9 @@ def main(only=None):
     if only:
         configs = [c for c in configs if c[0] == only] or \
             [(only, TES3, only == "gaussian")]
+
+    if not only:
+        run_volume_serving()
 
     headline_stats = None
     for model, tes, headline in configs:
