@@ -10,9 +10,11 @@ nested sequences with defined or undefined lengths. Pixel data is returned
 raw for the native syntaxes and DECODED for the compressed ones scanners
 actually export (reference utils/dcm_utils.py:259-312 delegates these to
 the dcm2niix binary): RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex G)
-and JPEG Lossless Process 14 / SV1 (1.2.840.10008.1.2.4.57/.70, via
-native ft2_jpegll_decode with a pure-Python utils/jpegll.py fallback).
-Lossy JPEG and JPEG 2000 still require dcm2niix.
+JPEG Lossless Process 14 / SV1 (1.2.840.10008.1.2.4.57/.70, via
+native ft2_jpegll_decode with a pure-Python utils/jpegll.py fallback), and
+JPEG 2000 / JPEG 2000 Lossless (1.2.840.10008.1.2.4.90/.91, via the
+image's OpenJPEG through PIL — writing an EBCOT Tier-1 coder in-repo buys
+nothing over the system codec). Lossy classic JPEG still requires dcm2niix.
 
 If pydicom IS importable it is used transparently (read_dcm prefers it).
 """
@@ -318,6 +320,12 @@ _TS_RLE = "1.2.840.10008.1.2.5"
 # compressed syntaxes scanners actually emit; decoded in-repo (native
 # ft2_jpegll_decode, pure-Python utils/jpegll.py fallback)
 _TS_JPEGLL = ("1.2.840.10008.1.2.4.57", "1.2.840.10008.1.2.4.70")
+# JPEG 2000 Lossless Only (.4.90) and JPEG 2000 (.4.91) — decoded through
+# PIL/OpenJPEG (baked into the image); PS3.5 A.4.4: each frame is one raw
+# JPEG 2000 codestream (SOC marker FF4F FF51), JP2 wrapping tolerated
+_TS_J2K = ("1.2.840.10008.1.2.4.90", "1.2.840.10008.1.2.4.91")
+_J2K_SOC = b"\xff\x4f\xff\x51"
+_JP2_SIG = b"\x00\x00\x00\x0cjP"
 
 
 def _jpegll_frame_streams(fragments) -> list:
@@ -353,35 +361,77 @@ def _jpegll_decode_stream(stream: bytes, path: str) -> np.ndarray:
     return arr
 
 
+def _j2k_frame_streams(fragments) -> list:
+    """Group encapsulation fragments into complete JPEG 2000 codestreams.
+
+    A frame may span multiple fragments (PS3.5 A.4); each new frame starts
+    with an SOC marker (or a JP2 signature box) at a fragment boundary."""
+    streams, cur = [], b""
+    for f in fragments:
+        starts = f[:4] == _J2K_SOC or f[:6] == _JP2_SIG
+        if starts and cur:
+            streams.append(cur)
+            cur = b""
+        cur += f
+    if cur:
+        streams.append(cur)
+    return streams
+
+
+def _j2k_decode_stream(stream: bytes, path: str) -> np.ndarray:
+    """One JPEG 2000 codestream (or JP2 file) -> 2-D/3-D numpy array."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is in the image
+        raise InvalidDicomError(
+            f"{path}: JPEG 2000 PixelData needs PIL/OpenJPEG (not "
+            "importable here); convert with dcm2niix") from e
+    try:
+        with Image.open(io.BytesIO(stream)) as im:
+            arr = np.asarray(im)
+    except Exception as e:
+        raise InvalidDicomError(
+            f"{path}: JPEG 2000 decode failed: {e}") from e
+    return arr
+
+
 def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
     """Replace an _Encapsulated PixelData entry with native-endian bytes."""
     enc = ds_elements.get(_STOP_TAG)
     if not isinstance(enc, _Encapsulated):
         return
-    if ts not in (_TS_RLE,) + _TS_JPEGLL:
+    if ts not in (_TS_RLE,) + _TS_JPEGLL + _TS_J2K:
         raise InvalidDicomError(
             f"{path}: encapsulated PixelData with transfer syntax {ts} "
-            "unsupported (RLE Lossless and JPEG Lossless P14/SV1 are decoded "
-            "natively; convert lossy/JPEG-2000 files with dcm2niix)")
+            "unsupported (RLE Lossless, JPEG Lossless P14/SV1 and JPEG 2000 "
+            "are decoded in-repo; convert lossy classic-JPEG files with "
+            "dcm2niix)")
     rows = int(ds_elements.get((0x0028, 0x0010)) or 0)
     cols = int(ds_elements.get((0x0028, 0x0011)) or 0)
     bits = int(ds_elements.get((0x0028, 0x0100)) or 16)
     samples = int(ds_elements.get((0x0028, 0x0002)) or 1)
     if not rows or not cols:
         raise InvalidDicomError(f"{path}: compressed PixelData without Rows/Columns")
-    if ts in _TS_JPEGLL:
+    if ts in _TS_JPEGLL + _TS_J2K:
+        if ts in _TS_JPEGLL:
+            streams, decode = _jpegll_frame_streams, _jpegll_decode_stream
+        else:
+            streams, decode = _j2k_frame_streams, _j2k_decode_stream
+        pixrep = int(ds_elements.get((0x0028, 0x0103)) or 0)
+        want = ((np.int16 if pixrep else np.uint16) if bits > 8
+                else (np.int8 if pixrep else np.uint8))
         frames = []
-        for stream in _jpegll_frame_streams(enc.fragments):
-            arr = _jpegll_decode_stream(stream, path)
+        for stream in streams(enc.fragments):
+            arr = decode(stream, path)
             fr, fc = arr.shape[:2]
             fs = arr.shape[2] if arr.ndim == 3 else 1
             if (fr, fc, fs) != (rows, cols, samples):
                 raise InvalidDicomError(
                     f"{path}: JPEG frame {fr}x{fc}x{fs} != dataset "
                     f"{rows}x{cols}x{samples}")
-            if bits > 8:
-                arr = arr.astype(np.uint16)
-            frames.append(arr)
+            frames.append(arr.astype(want))
     else:
         bps = max(1, bits // 8)
         frames = [_rle_decode_frame(f, rows, cols, bps, samples)

@@ -348,6 +348,126 @@ def test_jpegll_python_fallback_path(tmp_path, monkeypatch):
     np.testing.assert_array_equal(arr, truth)
 
 
+# ------------------------------------------------------------- JPEG 2000
+def _j2k_available() -> bool:
+    try:
+        from PIL import features
+
+        return bool(features.check("jpg_2000"))
+    except Exception:
+        return False
+
+
+def _j2k_encode(pixel: np.ndarray, *, jp2: bool = False) -> bytes:
+    """Reversible (5/3) JPEG 2000 codestream via PIL/OpenJPEG."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(pixel).save(buf, format="JPEG2000", irreversible=False,
+                                no_jp2=not jp2)
+    return buf.getvalue()
+
+
+def write_test_dicom_j2k(path, pixel: np.ndarray, *, ipp, te=114.0,
+                         instance=1, series_uid="1.2.3.12",
+                         n_fragments=1, jp2=False):
+    """Single-frame JPEG 2000 Lossless (1.2.840.10008.1.2.4.90) file."""
+    rows, cols = pixel.shape
+    ts = "1.2.840.10008.1.2.4.90"
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", ts.encode())
+    meta = _el_explicit(0x0002, 0x0000, b"UL",
+                        struct.pack("<I", len(meta_body))) + meta_body
+
+    def s(v):
+        return str(v).encode()
+
+    def ds_list(vals):
+        return "\\".join(f"{v:g}" for v in vals).encode()
+
+    body = b"".join([
+        _el_explicit(0x0008, 0x0060, b"CS", b"MR"),
+        _el_explicit(0x0008, 0x103E, b"LO", b"t2_haste_j2k"),
+        _el_explicit(0x0018, 0x0050, b"DS", s(3.0)),
+        _el_explicit(0x0018, 0x0081, b"DS", s(te)),
+        _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode()),
+        _el_explicit(0x0020, 0x0013, b"IS", s(instance)),
+        _el_explicit(0x0020, 0x0032, b"DS", ds_list(ipp)),
+        _el_explicit(0x0020, 0x0037, b"DS", ds_list((1, 0, 0, 0, 1, 0))),
+        _el_explicit(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _el_explicit(0x0028, 0x0030, b"DS", ds_list((1.5, 2.0))),
+        _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+    ])
+    stream = _j2k_encode(np.ascontiguousarray(pixel, np.uint16), jp2=jp2)
+    if len(stream) % 2:
+        stream += b"\x00"
+    cut = max(2, (len(stream) // n_fragments) // 2 * 2)
+    frags = [stream[i:i + cut] for i in range(0, len(stream), cut)] \
+        if n_fragments > 1 else [stream]
+    pd = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pd += struct.pack("<HHI", 0xFFFE, 0xE000, 0)              # empty BOT
+    for fr in frags:
+        pd += struct.pack("<HHI", 0xFFFE, 0xE000, len(fr)) + fr
+    pd += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)              # seq delimiter
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body + pd)
+
+
+def test_j2k_pixels_roundtrip(tmp_path):
+    import pytest
+
+    if not _j2k_available():
+        pytest.skip("PIL lacks OpenJPEG")
+    rng = np.random.default_rng(16)
+    truth = rng.integers(0, 65535, size=(16, 12)).astype(np.uint16)
+    p = str(tmp_path / "j2k.dcm")
+    write_test_dicom_j2k(p, truth, ipp=(0.0, 0.0, 0.0))
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), "<u2").reshape(16, 12)
+    np.testing.assert_array_equal(arr, truth)
+
+
+def test_j2k_multifragment_and_jp2(tmp_path):
+    import pytest
+
+    if not _j2k_available():
+        pytest.skip("PIL lacks OpenJPEG")
+    rng = np.random.default_rng(17)
+    truth = rng.integers(0, 4000, size=(16, 16)).astype(np.uint16)
+    p = str(tmp_path / "j2kfrag.dcm")
+    write_test_dicom_j2k(p, truth, ipp=(0.0, 0.0, 0.0), n_fragments=3)
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), "<u2").reshape(16, 16)
+    np.testing.assert_array_equal(arr, truth)
+    # JP2-wrapped codestream (PS3.5 discourages but tolerated on read)
+    p2 = str(tmp_path / "j2kjp2.dcm")
+    write_test_dicom_j2k(p2, truth, ipp=(0.0, 0.0, 0.0), jp2=True)
+    ds2 = read_dcm(p2, with_pixels=True)
+    arr2 = np.frombuffer(ds2.get("PixelData"), "<u2").reshape(16, 16)
+    np.testing.assert_array_equal(arr2, truth)
+
+
+def test_j2k_series_to_volume(tmp_path):
+    import pytest
+
+    if not _j2k_available():
+        pytest.skip("PIL lacks OpenJPEG")
+    rng = np.random.default_rng(18)
+    truth = rng.integers(0, 4000, size=(3, 6, 8)).astype(np.uint16)
+    for i in range(3):
+        write_test_dicom_j2k(str(tmp_path / f"j2k{i}.dcm"), truth[i],
+                             ipp=(0.0, 0.0, 3.0 * i), instance=i + 1)
+    vol, _ = series_to_volume([str(tmp_path / f"j2k{i}.dcm")
+                               for i in range(3)])
+    np.testing.assert_array_equal(np.asarray(vol.data),
+                                  truth.astype(np.float32))
+    assert vol.spacing == (2.0, 1.5, 3.0)
+
+
 def test_jpeg_encapsulated_raises_clear_error(tmp_path):
     # the JPEG family is NOT natively decoded: the error must name the TS
     # and the dcm2niix fallback
