@@ -14,7 +14,9 @@ JPEG Lossless Process 14 / SV1 (1.2.840.10008.1.2.4.57/.70, via
 native ft2_jpegll_decode with a pure-Python utils/jpegll.py fallback), and
 JPEG 2000 / JPEG 2000 Lossless (1.2.840.10008.1.2.4.90/.91, via the
 image's OpenJPEG through PIL — writing an EBCOT Tier-1 coder in-repo buys
-nothing over the system codec). Lossy classic JPEG still requires dcm2niix.
+nothing over the system codec), and 8-bit lossy classic JPEG
+(1.2.840.10008.1.2.4.50/.51 via PIL/libjpeg). Only 12-bit Extended lossy
+JPEG still requires dcm2niix.
 
 If pydicom IS importable it is used transparently (read_dcm prefers it).
 """
@@ -326,6 +328,30 @@ _TS_JPEGLL = ("1.2.840.10008.1.2.4.57", "1.2.840.10008.1.2.4.70")
 _TS_J2K = ("1.2.840.10008.1.2.4.90", "1.2.840.10008.1.2.4.91")
 _J2K_SOC = b"\xff\x4f\xff\x51"
 _JP2_SIG = b"\x00\x00\x00\x0cjP"
+# Lossy classic JPEG: Baseline Process 1 (.4.50) and Extended Process 2&4
+# (.4.51). 8-bit streams decode through PIL/libjpeg; 12-bit Extended
+# streams are outside stock libjpeg and still raise toward dcm2niix.
+_TS_JPEG_LOSSY = ("1.2.840.10008.1.2.4.50", "1.2.840.10008.1.2.4.51")
+
+
+def _jpeg_lossy_decode_stream(stream: bytes, path: str) -> np.ndarray:
+    """One baseline/extended JPEG stream -> numpy array via PIL/libjpeg."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is in the image
+        raise InvalidDicomError(
+            f"{path}: lossy JPEG PixelData needs PIL (not importable "
+            "here); convert with dcm2niix") from e
+    try:
+        with Image.open(io.BytesIO(stream)) as im:
+            arr = np.asarray(im)
+    except Exception as e:
+        raise InvalidDicomError(
+            f"{path}: lossy JPEG decode failed ({e}); 12-bit Extended "
+            "streams need dcm2niix") from e
+    return arr
 
 
 def _jpegll_frame_streams(fragments) -> list:
@@ -402,23 +428,25 @@ def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
     enc = ds_elements.get(_STOP_TAG)
     if not isinstance(enc, _Encapsulated):
         return
-    if ts not in (_TS_RLE,) + _TS_JPEGLL + _TS_J2K:
+    if ts not in (_TS_RLE,) + _TS_JPEGLL + _TS_J2K + _TS_JPEG_LOSSY:
         raise InvalidDicomError(
             f"{path}: encapsulated PixelData with transfer syntax {ts} "
-            "unsupported (RLE Lossless, JPEG Lossless P14/SV1 and JPEG 2000 "
-            "are decoded in-repo; convert lossy classic-JPEG files with "
-            "dcm2niix)")
+            "unsupported (RLE Lossless, JPEG Lossless P14/SV1, JPEG 2000 "
+            "and 8-bit lossy JPEG are decoded in-repo; convert other "
+            "syntaxes with dcm2niix)")
     rows = int(ds_elements.get((0x0028, 0x0010)) or 0)
     cols = int(ds_elements.get((0x0028, 0x0011)) or 0)
     bits = int(ds_elements.get((0x0028, 0x0100)) or 16)
     samples = int(ds_elements.get((0x0028, 0x0002)) or 1)
     if not rows or not cols:
         raise InvalidDicomError(f"{path}: compressed PixelData without Rows/Columns")
-    if ts in _TS_JPEGLL + _TS_J2K:
+    if ts in _TS_JPEGLL + _TS_J2K + _TS_JPEG_LOSSY:
         if ts in _TS_JPEGLL:
             streams, decode = _jpegll_frame_streams, _jpegll_decode_stream
-        else:
+        elif ts in _TS_J2K:
             streams, decode = _j2k_frame_streams, _j2k_decode_stream
+        else:
+            streams, decode = _jpegll_frame_streams, _jpeg_lossy_decode_stream
         pixrep = int(ds_elements.get((0x0028, 0x0103)) or 0)
         want = ((np.int16 if pixrep else np.uint16) if bits > 8
                 else (np.int8 if pixrep else np.uint8))

@@ -468,6 +468,44 @@ def test_j2k_series_to_volume(tmp_path):
     assert vol.spacing == (2.0, 1.5, 3.0)
 
 
+def test_jpeg_lossy_baseline_decodes_via_pil(tmp_path):
+    # 8-bit Baseline Process 1 (TS .4.50): decoded through PIL/libjpeg;
+    # lossy, so gate on a small reconstruction error, not bit-equality
+    import io
+
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    truth = (96 + 2 * yy + xx).astype(np.uint8)          # smooth ramp
+    buf = io.BytesIO()
+    Image.fromarray(truth).save(buf, format="JPEG", quality=95)
+    stream = buf.getvalue()
+    if len(stream) % 2:
+        stream += b"\x00"
+    p = str(tmp_path / "jlossy.dcm")
+    ts = "1.2.840.10008.1.2.4.50"
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", ts.encode())
+    meta = _el_explicit(0x0002, 0x0000, b"UL",
+                        struct.pack("<I", len(meta_body))) + meta_body
+    body = b"".join([
+        _el_explicit(0x0008, 0x0060, b"CS", b"MR"),
+        _el_explicit(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", 32)),
+        _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", 32)),
+        _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+        _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+    ])
+    pd_el = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pd_el += struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    pd_el += struct.pack("<HHI", 0xFFFE, 0xE000, len(stream)) + stream
+    pd_el += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body + pd_el)
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), np.uint8).reshape(32, 32)
+    assert np.max(np.abs(arr.astype(int) - truth.astype(int))) <= 4
+
+
 def test_jpeg_encapsulated_raises_clear_error(tmp_path):
     # the JPEG family is NOT natively decoded: the error must name the TS
     # and the dcm2niix fallback
