@@ -232,8 +232,10 @@ def run_volume_serving():
         return sig, mask, t2
 
     sig, mask, t2 = make_data(jax.random.PRNGKey(0))
+    # ellipsoid touches ~122K 32-voxel blocks (~3.9M voxels of block
+    # capacity) for 3.0M masked voxels; 0.30 covers it with headroom
     fit = lambda: fit_volume(sig, mask, te, (0.0, 10.0), (1e6, 2000.0),
-                             model="gaussian", mask_frac=0.23)
+                             model="gaussian", mask_frac=0.30)
     res = fit()
     n_masked = int(res.n_masked)
     m = mask

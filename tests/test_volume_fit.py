@@ -23,7 +23,9 @@ def _volume(nz=16, seed=0):
 
 def test_fit_volume_masked_recovery():
     sig, mask, t2, k = _volume()
-    res = fit_volume(sig, mask, TES, LO, HI, max_iters=30, mask_frac=0.5)
+    # 12^3 cube mask touches 72 32-voxel blocks (2304 voxels of block
+    # capacity) in the 16^3 grid -> mask_frac 0.6 covers it
+    res = fit_volume(sig, mask, TES, LO, HI, max_iters=30, mask_frac=0.6)
     t2map = np.asarray(res.t2)
     assert t2map.shape == mask.shape
     np.testing.assert_allclose(t2map[mask], t2[mask], rtol=5e-3)
@@ -42,8 +44,10 @@ def test_fit_volume_overflow_reported():
     with pytest.warns(UserWarning, match="left unfitted"):
         res = fit_volume(sig, mask, TES, LO, HI, max_iters=12, mask_frac=0.1)
     assert int(res.n_overflow) > 0
-    # fitted + unfitted partitions are consistent
-    fitted = np.asarray(res.n_iter) > 0
+    assert int(res.n_masked) == mask.size
+    # capacity + overflow account for every masked voxel
+    fitted = np.asarray(res.converged) | (np.asarray(res.n_iter) > 0)
+    assert fitted.sum() + int(res.n_overflow) >= mask.size * 0.95
     assert fitted.sum() <= 0.11 * mask.size + 128 * 3
 
 
