@@ -51,6 +51,23 @@ def test_fit_volume_overflow_reported():
     assert fitted.sum() <= 0.11 * mask.size + 128 * 3
 
 
+def test_fit_volume_block_matches_voxel_exact():
+    """block=32 (block compaction) and block=1 (voxel-exact) agree on every
+    masked voxel, including with a grid not divisible by the block."""
+    sig, mask, t2, _ = _volume(nz=15, seed=3)   # 3375 voxels: not 32-aligned
+    res_b = fit_volume(sig, mask, TES, LO, HI, max_iters=30, mask_frac=1.0,
+                       block=32)
+    res_v = fit_volume(sig, mask, TES, LO, HI, max_iters=30, mask_frac=1.0,
+                       block=1)
+    assert int(res_b.n_overflow) == 0 and int(res_v.n_overflow) == 0
+    np.testing.assert_allclose(np.asarray(res_b.t2)[mask],
+                               np.asarray(res_v.t2)[mask], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res_b.t2)[~mask], 0.0)
+    np.testing.assert_array_equal(np.asarray(res_v.t2)[~mask], 0.0)
+    np.testing.assert_allclose(np.asarray(res_b.t2)[mask], t2[mask],
+                               rtol=5e-3)
+
+
 def test_fit_volume_validates_shapes():
     sig, mask, _, _ = _volume()
     with pytest.raises(ValueError, match=r"\(Z, Y, X, T\)"):
