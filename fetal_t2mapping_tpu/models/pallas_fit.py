@@ -669,18 +669,18 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     # kernel ever launches. Voxels still unhandled after the last round keep
     # phase-1 results and are COUNTED in n_overflow instead of being
     # silently dropped.
-    # The per-voxel state rides the loop PACKED as one (N, P+4) f32 array
+    # The per-voxel state rides the loop as P+4 SEPARATE (N,) f32 columns
     # [x0..x_{P-1}, fun, conv, n_iter, handled]: TPU scatters serialize over
-    # update ROWS (not elements), so merging a refit round costs ONE
-    # capacity-row scatter instead of five.
+    # update ROWS either way, but a packed (N, P+4) array lane-pads its
+    # narrow minor dim, so P+4 1-D column scatters beat the single packed
+    # row scatter (measured 75 vs 122 ms merging 1.05M rows into 16.7M).
     p_dim = x1.shape[1]
-    packed0 = jnp.concatenate(
-        [x1, fun1_v[:, None], conv1_v[:, None], nit1_v[:, None],
-         conv1_v[:, None]], axis=1)                    # handled starts = conv
+    cols0 = tuple(x1[:, j] for j in range(p_dim)) + (
+        fun1_v, conv1_v, nit1_v, conv1_v)              # handled starts = conv
 
     def refit_cond(state):
-        r, packed = state
-        return (r < tail_rounds) & jnp.any(packed[:, p_dim + 3] < 0.5)
+        r, cols = state
+        return (r < tail_rounds) & jnp.any(cols[p_dim + 3] < 0.5)
 
     def refit_round(state):
         # Re-fit one capacity-sized buffer of unhandled voxels with the full
@@ -689,8 +689,8 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         # restarts from the same x0 and re-treads phase 1's steps
         # deterministically before going further. no_prior per-voxel bounds
         # travel with the gathered signal rows.
-        r, packed = state
-        handled = packed[:, p_dim + 3] > 0.5
+        r, cols = state
+        handled = cols[p_dim + 3] > 0.5
         tail_idx, n_tail = _tail_partition(handled, capacity)
         sig_tail = signal[tail_idx]
         tiles2, _ = _to_tiles(sig_tail, capacity)
@@ -702,20 +702,20 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         st2 = stats2.reshape(3, -1)[:, :capacity]
         # a refit voxel got the full budget whether or not it converged:
         # it never enters another round (handled column -> 1)
-        upd = jnp.concatenate(
-            [x2, st2[0][:, None], st2[1][:, None], st2[2][:, None],
-             jnp.ones((capacity, 1), jnp.float32)], axis=1)
+        upd = tuple(x2[:, j] for j in range(p_dim)) + (
+            st2[0], st2[1], st2[2], jnp.ones((capacity,), jnp.float32))
         valid = jnp.arange(capacity) < n_tail
         safe_idx = jnp.where(valid, tail_idx, n)       # n = out of range -> drop
-        packed = packed.at[safe_idx].set(upd, mode="drop")
-        return r + 1, packed
+        cols = tuple(c.at[safe_idx].set(u, mode="drop")
+                     for c, u in zip(cols, upd))
+        return r + 1, cols
 
-    _, packed = lax.while_loop(
-        refit_cond, refit_round, (jnp.asarray(0, jnp.int32), packed0))
-    n_overflow = jnp.sum(packed[:, p_dim + 3] < 0.5).astype(jnp.int32)
-    return FitResult(x=packed[:, :p_dim], fun=packed[:, p_dim],
-                     converged=packed[:, p_dim + 1] > 0.5,
-                     n_iter=packed[:, p_dim + 2].astype(jnp.int32),
+    _, cols = lax.while_loop(
+        refit_cond, refit_round, (jnp.asarray(0, jnp.int32), cols0))
+    n_overflow = jnp.sum(cols[p_dim + 3] < 0.5).astype(jnp.int32)
+    return FitResult(x=jnp.stack(cols[:p_dim], axis=1), fun=cols[p_dim],
+                     converged=cols[p_dim + 1] > 0.5,
+                     n_iter=cols[p_dim + 2].astype(jnp.int32),
                      n_overflow=n_overflow)
 
 

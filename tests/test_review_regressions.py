@@ -127,14 +127,18 @@ def test_echostack_rejects_geometry_mismatch():
 # ---------------------------------------------------------------- round 2
 def test_min_mask_frac_covers_capacity_floor():
     # ADVICE r1: int(n*frac)//128*128 floors capacity; the suggested frac
-    # must actually yield capacity >= n_masked for awkward n
-    from fetal_t2mapping_tpu.models.volume_fit import _capacity, _min_mask_frac
+    # must actually yield capacity >= the touched blocks for awkward n
+    from fetal_t2mapping_tpu.models.volume_fit import (_block_capacity,
+                                                       _min_mask_frac)
 
     for n, n_masked in [(64 ** 3, 40000), (100003, 99990), (128, 128),
                         (250047, 31217), (1 << 24, 1350011)]:
-        frac = _min_mask_frac(n, n_masked)
-        assert _capacity(n, frac) >= n_masked, (n, n_masked, frac)
-        assert frac <= 1.0
+        for block in (1, 32, 64):
+            n_blocks = min(-(-n_masked // block), -(-n // block))
+            frac = _min_mask_frac(n, n_blocks, block)
+            assert _block_capacity(n, frac, block) >= n_blocks, (
+                n, n_masked, block, frac)
+            assert frac <= 1.0
 
 
 def test_series_to_volume_rejects_interleaved_echoes(tmp_path):
