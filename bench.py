@@ -238,20 +238,19 @@ def run_volume_serving():
                              model="gaussian", mask_frac=0.30)
     res = fit()
     n_masked = int(res.n_masked)
+    n_overflow = int(res.n_overflow)
     m = mask
     med_rel = float(jnp.median(jnp.abs(res.t2[m] - t2[m]) / t2[m]))
     conv = float(jnp.mean(res.converged[m].astype(jnp.float32)))
-    assert int(res.n_overflow) == 0
-    if med_rel > 5e-2:
-        print(f"serving accuracy gate FAILED: median rel T2 err {med_rel:.2e}",
-              file=sys.stderr)
+    if n_overflow or med_rel > 5e-2:
+        print(f"serving gate FAILED: n_overflow {n_overflow}, "
+              f"median rel T2 err {med_rel:.2e}", file=sys.stderr)
         raise SystemExit(1)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [fit() for _ in range(4)]
-        import jax.numpy as jnp2
-        float(sum(jnp2.mean(o.fun) for o in outs))
+        float(sum(jnp.mean(o.fun) for o in outs))
         times.append((time.perf_counter() - t0) / 4)
     dt = float(np.median(times))
     rate = n_masked / dt
@@ -266,7 +265,7 @@ def run_volume_serving():
         "vs_baseline": round(rate / BASELINE_VOXELS_PER_SEC, 2),
         "median_rel_t2_err_vs_truth": float(f"{med_rel:.3g}"),
         "converged": round(conv, 4),
-        "n_overflow": 0,
+        "n_overflow": n_overflow,
     }))
     sys.stdout.flush()
 

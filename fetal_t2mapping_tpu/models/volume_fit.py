@@ -12,7 +12,7 @@ Compaction is BLOCK-granular (``block`` consecutive flat voxels, default
 rows, so moving 3M single-voxel rows costs hundreds of ms while moving the
 ~100K block rows that cover the same mask costs a few (measured on a 240^3
 stack: 307 ms for the voxel-exact packed scatter vs ~10 ms block-wise; the
-whole pipeline went 433 ms -> ~110 ms). The price is fitting the unmasked
+whole pipeline went 433 ms -> 132 ms). The price is fitting the unmasked
 voxels of partially-masked blocks — ~15-30%% extra fit work for a smooth
 brain mask — which the VPU-bound kernel wins back many times over. Their
 results are zeroed on scatter, so the output contract is unchanged: maps
@@ -29,6 +29,7 @@ run_t2mapping.py:421). Masked blocks beyond capacity are left unfitted
 from __future__ import annotations
 
 import functools
+from math import gcd
 from math import prod as np_prod
 from typing import NamedTuple, Sequence
 
@@ -78,9 +79,15 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
     batch = flat_sig.reshape(nb, block * t_axis)[bidx]
     mb = sel.reshape(nb, block)[bidx]                      # (blk_cap, block)
     batch = batch.reshape(blk_cap, block, t_axis)
-    # benign constant signal for unmasked voxels of kept blocks: their fit
-    # runs (and is discarded) — zeros would feed log(0) to the init
-    batch = jnp.where(mb[..., None], batch, 1.0).reshape(
+    # Filler signal for unmasked voxels of kept blocks: their fit runs (and
+    # is discarded), so it must be TRIVIALLY CONVERGENT — an exact in-bounds
+    # decay at the initial guess converges in 1-2 Newton steps. A constant
+    # (or zero: log(0) in the init) filler would never converge under the
+    # 3-param models and starve the twophase straggler-refit capacity that
+    # real masked voxels need.
+    te_arr = jnp.asarray(te, jnp.float32)
+    filler = guess[0] * jnp.exp(-te_arr / max(guess[1], 1e-3))
+    batch = jnp.where(mb[..., None], batch, filler).reshape(
         blk_cap * block, t_axis)
 
     res = _fit_fused_impl(
@@ -136,14 +143,18 @@ def _block_capacity(n: int, mask_frac: float, block: int) -> int:
     kernel's batch granularity)."""
     cap_vox = _capacity(n, mask_frac)
     blk_cap = -(-cap_vox // block)
-    quantum = 128 // _gcd(block, 128)
+    quantum = 128 // gcd(block, 128)
     return -(-blk_cap // quantum) * quantum
 
 
-def _gcd(a: int, b: int) -> int:
-    while b:
-        a, b = b, a % b
-    return a
+@functools.partial(jax.jit, static_argnames=("n", "block"))
+def _count_touched_blocks(mask, n: int, block: int):
+    flat = mask.reshape(n) > 0
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        flat = jnp.pad(flat, (0, n_pad - n))
+    return jnp.sum(flat.reshape(n_pad // block, block).any(axis=1)
+                   .astype(jnp.int32))
 
 
 def _min_mask_frac(n: int, n_blocks: int, block: int) -> float:
@@ -202,11 +213,8 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
     n = int(np_prod(signal.shape[:3]))
     n_pad = -(-n // block) * block
     blk_cap = _block_capacity(n, mask_frac, block)
-    flat = (mask.reshape(n) > 0)
-    if n_pad != n:
-        flat = jnp.pad(flat, (0, n_pad - n))
-    # 4-byte sync; cheap vs a silent underfit
-    n_blocks = int(jnp.sum(flat.reshape(n_pad // block, block).any(axis=1)))
+    # one fused dispatch + a 4-byte sync; cheap vs a silent underfit
+    n_blocks = int(_count_touched_blocks(mask, n, block))
     if n_blocks > blk_cap:
         import warnings
 

@@ -391,11 +391,16 @@ def _j2k_frame_streams(fragments) -> list:
     """Group encapsulation fragments into complete JPEG 2000 codestreams.
 
     A frame may span multiple fragments (PS3.5 A.4); each new frame starts
-    with an SOC marker (or a JP2 signature box) at a fragment boundary."""
+    with an SOC marker (or a JP2 signature box) at a fragment boundary.
+    Unlike classic JPEG (where byte stuffing keeps FFD8 out of entropy
+    data), the SOC pattern CAN occur inside J2K packet bodies — so a
+    fragment only starts a new frame if the accumulated stream already ends
+    with the EOC marker (FFD9, optionally padded to even length)."""
     streams, cur = [], b""
     for f in fragments:
         starts = f[:4] == _J2K_SOC or f[:6] == _JP2_SIG
-        if starts and cur:
+        done = cur.rstrip(b"\x00")[-2:] == b"\xff\xd9"
+        if starts and cur and done:
             streams.append(cur)
             cur = b""
         cur += f
@@ -448,8 +453,12 @@ def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
         else:
             streams, decode = _jpegll_frame_streams, _jpeg_lossy_decode_stream
         pixrep = int(ds_elements.get((0x0028, 0x0103)) or 0)
-        want = ((np.int16 if pixrep else np.uint16) if bits > 8
-                else (np.int8 if pixrep else np.uint8))
+        if bits > 16:
+            want = np.int32 if pixrep else np.uint32
+        elif bits > 8:
+            want = np.int16 if pixrep else np.uint16
+        else:
+            want = np.int8 if pixrep else np.uint8
         frames = []
         for stream in streams(enc.fragments):
             arr = decode(stream, path)

@@ -68,6 +68,27 @@ def test_fit_volume_block_matches_voxel_exact():
                                rtol=5e-3)
 
 
+def test_block_filler_converges_within_phase1_for_3param():
+    """The filler signal volume_fit feeds unmasked voxels of kept blocks
+    (an exact decay at the initial guess) must converge inside the phase-1
+    budget for the 3-param models — otherwise fillers would consume the
+    twophase straggler-refit capacity that real masked voxels need."""
+    from fetal_t2mapping_tpu.models.pallas_fit import (fit_fused,
+                                                       validate_fused_args)
+
+    te = TES
+    lo, hi = (0.0, 10.0, 1.0), (900.0, 600.0, 100.0)
+    _, lo_t, hi_t, guess = validate_fused_args("gaussian_rician", te, lo, hi,
+                                               None, False)
+    filler = guess[0] * np.exp(-np.asarray(te, np.float32) /
+                               max(guess[1], 1e-3))
+    sig = np.tile(filler, (256, 1)).astype(np.float32)
+    res = fit_fused(sig, te, lo_t, hi_t, model="gaussian_rician",
+                    phase1_iters=10, max_iters=60)
+    assert np.asarray(res.converged).all()
+    assert int(np.asarray(res.n_iter).max()) <= 10
+
+
 def test_fit_volume_validates_shapes():
     sig, mask, _, _ = _volume()
     with pytest.raises(ValueError, match=r"\(Z, Y, X, T\)"):
