@@ -11,8 +11,10 @@ descent, multi-resolution — which maps perfectly onto JAX:
 
 - the warp is a trilinear gather (ops.interp), differentiable w.r.t. the
   sample coordinates, so the metric gradient w.r.t. the 6/12 transform
-  parameters comes from autodiff: no finite differences, no random 10%
-  sampling (TPU prefers the dense metric; every voxel contributes);
+  parameters comes from autodiff: no finite differences. The fixed grid is
+  stride-subsampled per level (_LEVEL_SAMPLES — gathers are the expensive
+  op on TPU and a 6/12-dof metric saturates long before dense sampling;
+  still ~5-20x denser than Elastix's few-thousand random samples);
 - four metrics, all masked to in-bounds voxels: 'ncc' (same-contrast
   pairs), 'mse', and two cross-contrast histogram metrics — 'mi'
   (Parzen-window mutual information, Mattes/Viola style; the joint
