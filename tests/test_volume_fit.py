@@ -89,6 +89,29 @@ def test_block_filler_converges_within_phase1_for_3param():
     assert int(np.asarray(res.n_iter).max()) <= 10
 
 
+def test_fit_volume_3param_partial_blocks():
+    """gaussian_rician through the block path: partially-masked blocks mix
+    real voxels with fillers, and every masked voxel must still converge
+    (the twophase refit capacity is reserved for real stragglers)."""
+    rng = np.random.default_rng(7)
+    nz = 12
+    t2 = rng.uniform(60.0, 350.0, (nz, nz, nz)).astype(np.float32)
+    k = rng.uniform(200.0, 800.0, (nz, nz, nz)).astype(np.float32)
+    te = np.asarray(TES, np.float32)
+    sig = k[..., None] * np.exp(-te / t2[..., None])
+    sig = np.maximum(sig + rng.normal(0, 2.0, sig.shape), 1e-2
+                     ).astype(np.float32)
+    mask = rng.random((nz, nz, nz)) < 0.5          # scattered: no full block
+    res = fit_volume(sig, mask, TES, (0.0, 10.0, 0.1), (2000.0, 600.0, 50.0),
+                     model="gaussian_rician", max_iters=40, mask_frac=1.0)
+    assert int(res.n_overflow) == 0
+    conv = np.asarray(res.converged)
+    assert conv[mask].mean() > 0.98
+    rel = np.abs(np.asarray(res.t2)[mask] - t2[mask]) / t2[mask]
+    assert np.median(rel) < 5e-2
+    assert np.all(np.asarray(res.sigma)[~mask] == 0.0)
+
+
 def test_fit_volume_validates_shapes():
     sig, mask, _, _ = _volume()
     with pytest.raises(ValueError, match=r"\(Z, Y, X, T\)"):
