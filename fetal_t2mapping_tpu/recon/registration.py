@@ -221,15 +221,15 @@ def _make_metric_fn(kind: str, transform_fn, fixed_pts, fixed_vals,
 
 
 # --------------------------------------------------------------- optimizer
-@functools.partial(jax.jit, static_argnames=("kind", "mode", "iters"))
-def _run_level(fixed_pts, fixed_vals, m_data, m_inv, m_origin, center,
-               scale, params0, lr, *, kind: str, mode: str, iters: int):
+def _level_scan(ops, center, scale, params0, lr, *, kind: str, mode: str,
+                iters: int):
     """One pyramid level: build the metric from traced operands, run Adam.
 
-    Jitted ONCE per (level shape, kind, mode, iters): all image data,
-    grids and geometry are arguments, so repeated registrations hit the
-    compile cache (a closure-captured metric recompiled every call —
-    15-40 s per registration on the tunneled chip)."""
+    All image data, grids and geometry are ARGUMENTS, so repeated
+    registrations hit the compile cache (a closure-captured metric
+    recompiled every call — 15-40 s per registration on the tunneled
+    chip)."""
+    fixed_pts, fixed_vals, m_data, m_inv, m_origin = ops
     if mode == "rigid":
         tf = lambda p: _rigid_matrix(p, center, scale)
     else:
@@ -255,6 +255,32 @@ def _run_level(fixed_pts, fixed_vals, m_data, m_inv, m_origin, center,
     (params, _, _, _), fs = lax.scan(
         body, (params0, z, z, jnp.asarray(0, jnp.int32)), None, length=iters)
     return params, fs
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "mode", "iters"))
+def _run_level(fixed_pts, fixed_vals, m_data, m_inv, m_origin, center,
+               scale, params0, lr, *, kind: str, mode: str, iters: int):
+    """Single jitted pyramid level (kept for callers driving levels
+    individually; the registration APIs use _run_levels)."""
+    return _level_scan((fixed_pts, fixed_vals, m_data, m_inv, m_origin),
+                       center, scale, params0, lr, kind=kind, mode=mode,
+                       iters=iters)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "mode", "iters_seq"))
+def _run_levels(level_ops, center, scale, params0, lr, *, kind: str,
+                mode: str, iters_seq: Tuple[int, ...]):
+    """ALL pyramid levels in one program: the coarse-to-fine handoff stays
+    on device, so a registration costs one dispatch+sync instead of one per
+    level (the tunneled chip pays ~0.2 s of fixed RPC latency per sync;
+    level shapes are static, so the trace just contains one scan each)."""
+    params = params0
+    hist = []
+    for ops, iters in zip(level_ops, iters_seq):
+        params, fs = _level_scan(ops, center, scale, params, lr,
+                                 kind=kind, mode=mode, iters=int(iters))
+        hist.append(fs)
+    return params, tuple(hist)
 
 
 _AFFINE_T_SCALE = 50.0
@@ -296,19 +322,18 @@ def register_rigid(
     scale = np.float32(radius)  # rotations optimized in radius*mm units
 
     params = jnp.zeros(6, jnp.float32) if init_params is None else jnp.asarray(init_params, jnp.float32)
-    history = []
-    f_last = np.nan
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
-    for (f_dat, f_sp), (m_dat, m_sp), n_it, n_smp in zip(f_pyr, m_pyr, iters,
-                                                         samples):
-        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
-                            max_points=int(n_smp))
-        params, fs = _run_level(*ops, jnp.asarray(center), jnp.asarray(scale),
-                                params, jnp.float32(lr), kind=metric,
-                                mode="rigid", iters=int(n_it))
-        history.append(np.asarray(fs))
-        f_last = float(history[-1][-1])
+    level_ops = tuple(
+        _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
+                      max_points=int(n_smp))
+        for (f_dat, f_sp), (m_dat, m_sp), n_smp in zip(f_pyr, m_pyr, samples))
+    params, hist = _run_levels(level_ops, jnp.asarray(center),
+                               jnp.asarray(scale), params, jnp.float32(lr),
+                               kind=metric, mode="rigid",
+                               iters_seq=tuple(int(i) for i in iters))
+    history = [np.asarray(h) for h in hist]
+    f_last = float(history[-1][-1])
 
     R, offset = _rigid_matrix(np.asarray(params), center, scale)
     T = np.eye(4)
@@ -336,20 +361,19 @@ def register_affine(
     """
     center = np.asarray(fixed.center_world(), np.float32)
     params = jnp.zeros(12, jnp.float32)
-    history = []
-    f_last = np.nan
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
-    for (f_dat, f_sp), (m_dat, m_sp), n_it, n_smp in zip(f_pyr, m_pyr, iters,
-                                                         samples):
-        ops = _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
-                            max_points=int(n_smp))
-        params, fs = _run_level(*ops, jnp.asarray(center),
-                                jnp.float32(1.0),  # unused in affine mode
-                                params, jnp.float32(lr), kind=metric,
-                                mode="affine", iters=int(n_it))
-        history.append(np.asarray(fs))
-        f_last = float(history[-1][-1])
+    level_ops = tuple(
+        _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
+                      max_points=int(n_smp))
+        for (f_dat, f_sp), (m_dat, m_sp), n_smp in zip(f_pyr, m_pyr, samples))
+    params, hist = _run_levels(level_ops, jnp.asarray(center),
+                               jnp.float32(1.0),  # scale unused in affine
+                               params, jnp.float32(lr), kind=metric,
+                               mode="affine",
+                               iters_seq=tuple(int(i) for i in iters))
+    history = [np.asarray(h) for h in hist]
+    f_last = float(history[-1][-1])
 
     q = np.concatenate([np.asarray(params)[:9],
                         np.asarray(params)[9:] * _AFFINE_T_SCALE])
