@@ -239,9 +239,13 @@ def run_volume_serving():
 
     sig, mask, t2 = make_data(jax.random.PRNGKey(0))
     # ellipsoid touches ~122K 32-voxel blocks (~3.9M voxels of block
-    # capacity) for 3.0M masked voxels; 0.30 covers it with headroom
+    # capacity) for 3.0M masked voxels; 0.30 covers it with headroom.
+    # check_capacity=False keeps the chained reps async (its host sync
+    # would serialize every rep on the tunnel's ~200 ms RPC latency);
+    # the gate below watches result.n_overflow instead.
     fit = lambda: fit_volume(sig, mask, te, (0.0, 10.0), (1e6, 2000.0),
-                             model="gaussian", mask_frac=0.30)
+                             model="gaussian", mask_frac=0.30,
+                             check_capacity=False)
     res = fit()
     n_masked = int(res.n_masked)
     n_overflow = int(res.n_overflow)
@@ -293,11 +297,9 @@ def main(only=None):
     if not only:
         run_volume_serving()
 
-    headline_stats = None
     for model, tes, headline in configs:
         record, dt, mean_iters = run_model(model, tes, headline=headline)
         if headline:
-            headline_stats = (record, dt, mean_iters, len(tes))
             # roofline lines before the headline line: measured exp peak for
             # context, and the kernel's MARGINAL per-voxel-iteration cost
             # (two-point fit over the iteration budget), the honest

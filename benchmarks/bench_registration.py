@@ -7,6 +7,7 @@ typically seconds-to-tens-of-seconds per pair on CPU.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -14,7 +15,7 @@ import numpy as np
 
 
 def main():
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from fetal_t2mapping_tpu.core.volume import Volume
     from fetal_t2mapping_tpu.recon.registration import register_rigid
     from fetal_t2mapping_tpu.recon.resample import resample_to_reference

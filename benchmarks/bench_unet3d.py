@@ -10,6 +10,7 @@ weight-agnostic.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -17,7 +18,7 @@ import numpy as np
 
 
 def main():
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
 
     from fetal_t2mapping_tpu.labels.unet3d import (UNetConfig, pad_to_divisor,

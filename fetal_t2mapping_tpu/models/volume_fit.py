@@ -81,12 +81,14 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
     batch = batch.reshape(blk_cap, block, t_axis)
     # Filler signal for unmasked voxels of kept blocks: their fit runs (and
     # is discarded), so it must be TRIVIALLY CONVERGENT — an exact in-bounds
-    # decay at the initial guess converges in 1-2 Newton steps. A constant
-    # (or zero: log(0) in the init) filler would never converge under the
-    # 3-param models and starve the twophase straggler-refit capacity that
-    # real masked voxels need.
+    # decay at the (bound-clamped) initial guess converges in 1-2 Newton
+    # steps. A constant (or zero: log(0) in the init) filler would never
+    # converge under the 3-param models and starve the twophase
+    # straggler-refit capacity that real masked voxels need.
     te_arr = jnp.asarray(te, jnp.float32)
-    filler = guess[0] * jnp.exp(-te_arr / max(guess[1], 1e-3))
+    fk = min(max(guess[0], lo[0], 1.0), hi[0])
+    ft2 = min(max(guess[1], lo[1], 1e-3), hi[1])
+    filler = fk * jnp.exp(-te_arr / ft2)
     batch = jnp.where(mb[..., None], batch, filler).reshape(
         blk_cap * block, t_axis)
 
@@ -118,6 +120,10 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
 
     n_masked = jnp.sum(sel.astype(jnp.int32))
     n_fitted = jnp.sum((mb & valid_blk[:, None]).astype(jnp.int32))
+    # two overflow sources, both REPORTED: masked voxels in blocks beyond
+    # the compaction capacity, plus batch voxels the inner twophase
+    # straggler-refit rounds could not cover (res.n_overflow; fillers are
+    # trivially convergent so in practice these are real voxels)
     return VolumeFitResult(
         t2=chan(0),
         k=chan(1),
@@ -126,7 +132,7 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
         converged=chan(4) > 0.5,
         n_iter=chan(5).astype(jnp.int32),
         n_masked=n_masked,
-        n_overflow=n_masked - n_fitted,
+        n_overflow=n_masked - n_fitted + res.n_overflow,
     )
 
 
@@ -174,7 +180,8 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
                tail_frac: float = 0.0625, no_prior: bool = False,
                mask_frac: float = 0.25, block: int = 32,
                interpret: bool | None = None,
-               strategy: str = "auto") -> VolumeFitResult:
+               strategy: str = "auto",
+               check_capacity: bool = True) -> VolumeFitResult:
     """Fit every masked voxel of a (Z, Y, X, T) echo volume on device.
 
     One jitted program: device block-granular mask compaction -> fused
@@ -194,6 +201,10 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
             voxel-exact compaction (slow scatters — see module docstring);
             larger blocks trade fit work on partially-masked blocks for
             fewer, wider gather/scatter rows.
+        check_capacity: eagerly count the touched blocks and warn before
+            launching if the mask exceeds capacity (one extra dispatch + a
+            4-byte host sync). Pipelined serving loops can pass False to
+            keep dispatch fully async and watch ``result.n_overflow``.
 
     Returns:
         VolumeFitResult of dense device maps + (n_masked, n_overflow).
@@ -213,17 +224,21 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
     n = int(np_prod(signal.shape[:3]))
     n_pad = -(-n // block) * block
     blk_cap = _block_capacity(n, mask_frac, block)
-    # one fused dispatch + a 4-byte sync; cheap vs a silent underfit
-    n_blocks = int(_count_touched_blocks(mask, n, block))
-    if n_blocks > blk_cap:
-        import warnings
+    if check_capacity:
+        # one fused dispatch + a 4-byte sync; cheap vs a silent underfit.
+        # The sync serializes the caller on the previous program, so
+        # latency-critical pipelined serving loops can pass
+        # check_capacity=False and watch result.n_overflow instead.
+        n_blocks = int(_count_touched_blocks(mask, n, block))
+        if n_blocks > blk_cap:
+            import warnings
 
-        warnings.warn(
-            f"mask touches {n_blocks} blocks of {block} voxels but "
-            f"mask_frac={mask_frac} caps the fit buffer at {blk_cap} blocks: "
-            f"masked voxels in {n_blocks - blk_cap} blocks will be left "
-            f"unfitted (n_overflow); raise mask_frac to "
-            f">= {_min_mask_frac(n, n_blocks, block):.6f}", stacklevel=2)
+            warnings.warn(
+                f"mask touches {n_blocks} blocks of {block} voxels but "
+                f"mask_frac={mask_frac} caps the fit buffer at {blk_cap} "
+                f"blocks: masked voxels in {n_blocks - blk_cap} blocks will "
+                f"be left unfitted (n_overflow); raise mask_frac to "
+                f">= {_min_mask_frac(n, n_blocks, block):.6f}", stacklevel=2)
     from .pallas_fit import resolve_strategy
 
     return _fit_volume_impl(

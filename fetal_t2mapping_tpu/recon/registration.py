@@ -294,6 +294,21 @@ _AFFINE_T_SCALE = 50.0
 _LEVEL_SAMPLES = (1 << 14, 1 << 14, 1 << 16)
 
 
+def _level_samples(samples, n_levels: int):
+    """Resolve the per-level sample budget: None -> lean coarse levels +
+    a dense finest level, whatever the pyramid depth; explicit sequences
+    must cover every level (a short one would silently skip fine levels
+    in the zip)."""
+    if samples is None:
+        return (1 << 14,) * (n_levels - 1) + (1 << 16,)
+    samples = tuple(int(s) for s in samples)
+    if len(samples) != n_levels:
+        raise ValueError(
+            f"samples has {len(samples)} entries for {n_levels} pyramid "
+            "levels")
+    return samples
+
+
 # -------------------------------------------------------------------- API
 @dataclasses.dataclass(frozen=True)
 class RegistrationResult:
@@ -311,7 +326,7 @@ def register_rigid(
     levels: Sequence[int] = (4, 2, 1),
     sigmas: Sequence[float] = (2.0, 1.0, 0.0),
     iters: Sequence[int] = (150, 100, 50),
-    samples: Sequence[int] = _LEVEL_SAMPLES,
+    samples: "Sequence[int] | None" = None,
     lr: float = 0.5,
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
@@ -322,6 +337,11 @@ def register_rigid(
     scale = np.float32(radius)  # rotations optimized in radius*mm units
 
     params = jnp.zeros(6, jnp.float32) if init_params is None else jnp.asarray(init_params, jnp.float32)
+    samples = _level_samples(samples, len(levels))
+    if len(sigmas) != len(levels) or len(iters) != len(levels):
+        raise ValueError(
+            f"levels/sigmas/iters lengths differ: {len(levels)}/"
+            f"{len(sigmas)}/{len(iters)}")
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
     level_ops = tuple(
@@ -350,7 +370,7 @@ def register_affine(
     levels: Sequence[int] = (4, 2, 1),
     sigmas: Sequence[float] = (2.0, 1.0, 0.0),
     iters: Sequence[int] = (200, 120, 60),
-    samples: Sequence[int] = _LEVEL_SAMPLES,
+    samples: "Sequence[int] | None" = None,
     lr: float = 0.02,
     metric: str = "ncc",
 ) -> RegistrationResult:
@@ -361,6 +381,11 @@ def register_affine(
     """
     center = np.asarray(fixed.center_world(), np.float32)
     params = jnp.zeros(12, jnp.float32)
+    samples = _level_samples(samples, len(levels))
+    if len(sigmas) != len(levels) or len(iters) != len(levels):
+        raise ValueError(
+            f"levels/sigmas/iters lengths differ: {len(levels)}/"
+            f"{len(sigmas)}/{len(iters)}")
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
     level_ops = tuple(

@@ -358,10 +358,14 @@ def _jpegll_frame_streams(fragments) -> list:
     """Group encapsulation fragments into complete JPEG streams.
 
     A frame may span multiple fragments (PS3.5 A.4); each new frame starts
-    with an SOI marker at a fragment boundary."""
+    with an SOI marker at a fragment boundary. Byte stuffing keeps FFD8 out
+    of entropy-coded data, but APPn payloads (e.g. embedded thumbnails) can
+    contain it — so a fragment only starts a new frame if the accumulated
+    stream already ends with the EOI marker (FFD9, optionally padded)."""
     streams, cur = [], b""
     for f in fragments:
-        if f[:2] == b"\xff\xd8" and cur:
+        done = cur.rstrip(b"\x00")[-2:] == b"\xff\xd9"
+        if f[:2] == b"\xff\xd8" and cur and done:
             streams.append(cur)
             cur = b""
         cur += f

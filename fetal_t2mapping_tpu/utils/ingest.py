@@ -229,7 +229,7 @@ def gen_config_json(df: pd.DataFrame, out_path: str, sr_id: int = 0,
     dst = out_path + "001_params.json"
     with open(dst, "w") as f:
         json.dump(output, f, indent=4)
-    print(f"JSON structure saved to: {out_path}")
+    print(f"JSON structure saved to: {dst}")
     return output
 
 

@@ -1,5 +1,7 @@
 """Regressions for defects found in the round-1 code review."""
 
+import os
+
 import numpy as np
 from scipy import ndimage
 
@@ -124,6 +126,9 @@ def test_echostack_rejects_geometry_mismatch():
         EchoStack.from_volumes([a, b], [m, m], [114.0, 202.0])
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 # ---------------------------------------------------------------- round 2
 def test_min_mask_frac_covers_capacity_floor():
     # ADVICE r1: int(n*frac)//128*128 floors capacity; the suggested frac
@@ -214,10 +219,10 @@ def test_persistent_compile_cache_config(tmp_path):
     on = subprocess.run([sys.executable, "-c", code],
                         env={**__import__('os').environ,
                              "FT2_COMPILE_CACHE": str(tmp_path / "cc")},
-                        capture_output=True, text=True, cwd="/root/repo")
+                        capture_output=True, text=True, cwd=_REPO_ROOT)
     assert on.stdout.strip() == str(tmp_path / "cc"), on.stderr[-500:]
     off = subprocess.run([sys.executable, "-c", code],
                          env={**__import__('os').environ,
                               "FT2_COMPILE_CACHE": "0"},
-                         capture_output=True, text=True, cwd="/root/repo")
+                         capture_output=True, text=True, cwd=_REPO_ROOT)
     assert off.stdout.strip() == "", off.stderr[-500:]
