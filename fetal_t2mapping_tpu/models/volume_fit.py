@@ -12,7 +12,7 @@ Compaction is BLOCK-granular (``block`` consecutive flat voxels, default
 rows, so moving 3M single-voxel rows costs hundreds of ms while moving the
 ~100K block rows that cover the same mask costs a few (measured on a 240^3
 stack: 307 ms for the voxel-exact packed scatter vs ~10 ms block-wise; the
-whole pipeline went 433 ms -> 132 ms). The price is fitting the unmasked
+whole pipeline went 433 ms -> 92 ms). The price is fitting the unmasked
 voxels of partially-masked blocks — ~15-30%% extra fit work for a smooth
 brain mask — which the VPU-bound kernel wins back many times over. Their
 results are zeroed on scatter, so the output contract is unchanged: maps
