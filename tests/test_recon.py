@@ -107,6 +107,19 @@ class TestRegistration:
         assert h[-1] < h[0]
         assert reg.final_metric < -0.9  # NCC > 0.9 achieved
 
+    def test_level_config_length_mismatch_raises(self):
+        # a short samples/iters/sigmas sequence must not silently skip the
+        # finest pyramid level(s)
+        import pytest
+
+        fixed = _blob_volume(seed=5)
+        with pytest.raises(ValueError, match="samples"):
+            register_rigid(fixed, fixed, levels=(4, 2, 1),
+                           samples=(1 << 14, 1 << 14))
+        with pytest.raises(ValueError, match="lengths differ"):
+            register_rigid(fixed, fixed, levels=(4, 2), sigmas=(1.0,),
+                           iters=(5, 5))
+
 
 class TestFusion:
     def test_identical_inputs_identity_fusion(self):
