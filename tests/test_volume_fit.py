@@ -112,6 +112,29 @@ def test_fit_volume_3param_partial_blocks():
     assert np.all(np.asarray(res.sigma)[~mask] == 0.0)
 
 
+def test_fit_volume_matches_fit_stack_path():
+    """Cross-engine consistency: the serving path (block compaction + fused
+    Pallas kernel, interpret mode on CPU) and the file-pipeline path
+    (host gather + vmapped projected-Newton solver) agree voxelwise on the
+    same data — two independent implementations of the same optimum."""
+    from fetal_t2mapping_tpu.config import FitConfig
+    from fetal_t2mapping_tpu.core.stack import EchoStack
+    from fetal_t2mapping_tpu.core.volume import Volume
+    from fetal_t2mapping_tpu.models.t2map import fit_stack
+
+    sig, mask, t2, _ = _volume(nz=12, seed=9)
+    res_v = fit_volume(sig, mask, TES, LO, HI, max_iters=40, mask_frac=1.0)
+
+    st = EchoStack(sig, mask, np.asarray(TES, np.float32),
+                   Volume(sig[..., 0]))
+    cfg = FitConfig(model="gaussian", initial_guess=(1000.0, 100.0),
+                    lower=LO, upper=HI, max_iters=40)
+    out = fit_stack(st, cfg)
+    t2_stack = np.asarray(out.t2.data)
+    np.testing.assert_allclose(np.asarray(res_v.t2)[mask], t2_stack[mask],
+                               rtol=1e-3)
+
+
 def test_fit_volume_validates_shapes():
     sig, mask, _, _ = _volume()
     with pytest.raises(ValueError, match=r"\(Z, Y, X, T\)"):
