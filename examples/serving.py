@@ -22,13 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-    # honour JAX_PLATFORMS=cpu even where sitecustomize force-registers a
-    # TPU plugin at interpreter boot (see __graft_entry__.dryrun_multichip)
-    import jax
-
-    if jax.config.jax_platforms != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+import _platform  # noqa: F401  (JAX_PLATFORMS=cpu honor)
 
 import numpy as np
 
