@@ -317,6 +317,11 @@ class RegistrationResult:
     matrix: np.ndarray          # 4x4
     final_metric: float
     metric_history: np.ndarray  # per-level concatenated
+    # raw optimizer parameters (6 rigid / 12 affine) — feed back as
+    # init_params to warm-start a related registration (e.g. the next echo
+    # of the same subject, which shares most of the motion)
+    params: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.float32))
 
 
 def register_rigid(
@@ -360,7 +365,8 @@ def register_rigid(
     T[:3, :3] = np.asarray(R)
     T[:3, 3] = np.asarray(offset)
     return RegistrationResult(matrix=T, final_metric=f_last,
-                              metric_history=np.concatenate(history))
+                              metric_history=np.concatenate(history),
+                              params=np.asarray(params, np.float32))
 
 
 def register_affine(
@@ -407,7 +413,8 @@ def register_affine(
     T[:3, :3] = np.asarray(M)
     T[:3, 3] = np.asarray(offset)
     return RegistrationResult(matrix=T, final_metric=f_last,
-                              metric_history=np.concatenate(history))
+                              metric_history=np.concatenate(history),
+                              params=np.asarray(params, np.float32))
 
 
 def register_and_resample(fixed: Volume, moving: Volume, *, mode: str = "rigid",

@@ -107,6 +107,23 @@ class TestRegistration:
         assert h[-1] < h[0]
         assert reg.final_metric < -0.9  # NCC > 0.9 achieved
 
+    def test_warm_start_from_init_params(self):
+        # warm-starting from a previous solve's parameters must converge at
+        # least as well with a fraction of the budget (the hf->lf step's
+        # use case: successive echoes share most of the motion)
+        fixed = _blob_volume(seed=6)
+        T = np.eye(4)
+        T[:3, 3] = [4.0, -3.0, 2.0]
+        moving = resample_to_reference(fixed, fixed, transform=T)
+        full = register_rigid(fixed, moving, **FAST_REG)
+        assert full.final_metric < -0.9
+        warm_kwargs = dict(FAST_REG)
+        warm_kwargs["iters"] = tuple(max(i // 5, 2)
+                                     for i in FAST_REG.get("iters", (30, 20)))
+        warm = register_rigid(fixed, moving, init_params=full.params,
+                              **warm_kwargs)
+        assert warm.final_metric <= full.final_metric + 0.01
+
     def test_level_config_length_mismatch_raises(self):
         # a short samples/iters/sigmas sequence must not silently skip the
         # finest pyramid level(s)
