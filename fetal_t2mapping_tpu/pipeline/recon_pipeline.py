@@ -128,6 +128,7 @@ def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
                                registration_kwargs: Optional[dict] = None) -> None:
     """Step 3bis: register 1.5 T recons to the 0.55 T ses-01 te-114 recon
     (reference :1039-1051), with its per-subject exclusions."""
+    warm: Dict[tuple, np.ndarray] = {}
     for (prj, sub, ses, echotime), sub_md in metadata.groupby(["prj", "sub", "ses", "EchoTime"]):
         for _, acq in sub_md.iterrows():
             # metadata stores EchoTime in seconds; the exclusion list is in ms
@@ -140,7 +141,12 @@ def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
                 continue
             fixed = nifti.read(fixed_path)
             moving = nifti.read(moving_path)
-            reg = register_rigid(fixed, moving, **(registration_kwargs or {}))
+            # successive echoes of one (prj, sub, ses) share the motion:
+            # warm-start from the previous echo's solved parameters
+            reg = register_rigid(fixed, moving,
+                                 init_params=warm.get((prj, sub, ses)),
+                                 **(registration_kwargs or {}))
+            warm[(prj, sub, ses)] = reg.params
             out = resample_to_reference(moving, fixed, transform=reg.matrix)
             nifti.write(moving_path, out, dtype=np.float32)
             log.info("hf->lf registered: %s", moving_path)
