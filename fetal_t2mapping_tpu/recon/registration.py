@@ -379,6 +379,7 @@ def register_affine(
     samples: "Sequence[int] | None" = None,
     lr: float = 0.02,
     metric: str = "ncc",
+    init_params: Optional[np.ndarray] = None,
 ) -> RegistrationResult:
     """12-DOF affine registration (the FLIRT replacement).
 
@@ -386,7 +387,8 @@ def register_affine(
     small lr (dimensionless), translations ride the same Adam scaling.
     """
     center = np.asarray(fixed.center_world(), np.float32)
-    params = jnp.zeros(12, jnp.float32)
+    params = (jnp.zeros(12, jnp.float32) if init_params is None
+              else jnp.asarray(init_params, jnp.float32))
     samples = _level_samples(samples, len(levels))
     if len(sigmas) != len(levels) or len(iters) != len(levels):
         raise ValueError(
