@@ -100,9 +100,35 @@ def _device_pyramid(vol: Volume, levels: Sequence[int], sigmas: Sequence[float])
 
 
 # ------------------------------------------------------------------ metric
+def _mask_pyramid(mask: np.ndarray, levels: Sequence[int]):
+    """Per-level fixed-image metric masks (host numpy, bool).
+
+    Each level's mask is the block-OR of the full-resolution mask over the
+    level's ``factor``-strided grid — the same grid ``smooth_subsample``
+    produces — so a thin structure stays representable at coarse levels
+    instead of falling between strides (the "after smoothing" analogue for
+    a binary mask: OR is the 0/1 max-pool)."""
+    base = np.asarray(mask) > 0
+    out = []
+    for factor in levels:
+        factor = int(factor)
+        if factor == 1:
+            out.append(base)
+            continue
+        lvl_shape = tuple(len(range(0, s, factor)) for s in base.shape)
+        lvl = np.zeros(lvl_shape, bool)
+        for dz in range(factor):
+            for dy in range(factor):
+                for dx in range(factor):
+                    sub = base[dz::factor, dy::factor, dx::factor]
+                    lvl[:sub.shape[0], :sub.shape[1], :sub.shape[2]] |= sub
+        out.append(lvl)
+    return out
+
+
 def _level_inputs(fixed_vol: Volume, fixed_data, fixed_spacing,
                   moving_vol: Volume, moving_data, moving_spacing,
-                  max_points: int = 1 << 16):
+                  max_points: int = 1 << 16, mask_level=None):
     """Device operands for one pyramid level's metric.
 
     The fixed grid is stride-subsampled to at most ~max_points samples:
@@ -110,24 +136,49 @@ def _level_inputs(fixed_vol: Volume, fixed_data, fixed_spacing,
     long before dense sampling (Elastix defaults to a few THOUSAND random
     samples; 2^16 strided samples is still ~20x denser).
 
+    With ``mask_level`` (bool array on this level's grid) the samples are
+    drawn ONLY from mask voxels — the fixed-image metric mask of the
+    reference's intended design (``SetMetricFixedMask``, reference
+    utils/qmri_utils.py:194-197): content outside the mask (e.g. maternal
+    anatomy moving independently of the fetal brain) never enters the
+    metric. Exactly ``max_points`` samples are taken by even resampling of
+    the raster-ordered mask-voxel list, so masked registrations share one
+    jit cache entry regardless of mask size (repeats when the mask is
+    smaller than the budget only reweight, never bias, the metric).
+
     Everything data-dependent is returned as ARRAYS to be passed into the
     jitted level driver — baking them into a metric closure would make
     every registration a fresh jit cache entry and recompile (~15-40 s per
     call on the tunneled chip; observed dominating 'warm' registrations).
     """
     shape = tuple(int(s) for s in fixed_data.shape)
-    npts = int(np.prod(shape))
-    stride = 1
-    if npts > max_points:
-        stride = int(np.ceil((npts / max_points) ** (1.0 / 3.0)))
-    # strided voxel-index grid -> world coordinates (small, built on host)
-    idx = np.stack(np.meshgrid(
-        *[np.arange(0, s, stride, dtype=np.float32) for s in shape],
-        indexing="ij"), axis=-1)                     # (gz, gy, gx, 3) in (z,y,x)
     A = fixed_vol.direction_matrix @ np.diag(fixed_spacing)   # world from (x,y,z)
-    world = idx[..., ::-1] @ A.T + np.asarray(fixed_vol.origin)
-    fixed_pts = jnp.asarray(world.reshape(-1, 3), jnp.float32)
-    fixed_vals = fixed_data[::stride, ::stride, ::stride].reshape(-1)
+    if mask_level is not None:
+        mask_level = np.asarray(mask_level)
+        if mask_level.shape != shape:
+            raise ValueError(
+                f"fixed_mask level shape {mask_level.shape} != level image "
+                f"shape {shape}")
+        mvox = np.argwhere(mask_level)                 # (M, 3) in (z,y,x)
+        if mvox.shape[0] == 0:
+            raise ValueError("fixed_mask selects no voxels at this pyramid level")
+        take = np.linspace(0, mvox.shape[0] - 1, num=int(max_points))
+        mvox = mvox[take.round().astype(np.int64)]
+        world = mvox[:, ::-1].astype(np.float32) @ A.T + np.asarray(fixed_vol.origin)
+        fixed_pts = jnp.asarray(world, jnp.float32)
+        fixed_vals = fixed_data[mvox[:, 0], mvox[:, 1], mvox[:, 2]]
+    else:
+        npts = int(np.prod(shape))
+        stride = 1
+        if npts > max_points:
+            stride = int(np.ceil((npts / max_points) ** (1.0 / 3.0)))
+        # strided voxel-index grid -> world coordinates (small, built on host)
+        idx = np.stack(np.meshgrid(
+            *[np.arange(0, s, stride, dtype=np.float32) for s in shape],
+            indexing="ij"), axis=-1)                 # (gz, gy, gx, 3) in (z,y,x)
+        world = idx[..., ::-1] @ A.T + np.asarray(fixed_vol.origin)
+        fixed_pts = jnp.asarray(world.reshape(-1, 3), jnp.float32)
+        fixed_vals = fixed_data[::stride, ::stride, ::stride].reshape(-1)
 
     Mi = np.linalg.inv(moving_vol.direction_matrix @ np.diag(moving_spacing))
     m_inv = jnp.asarray(Mi.T, jnp.float32)
@@ -296,17 +347,32 @@ _LEVEL_SAMPLES = (1 << 14, 1 << 14, 1 << 16)
 
 def _level_samples(samples, n_levels: int):
     """Resolve the per-level sample budget: None -> lean coarse levels +
-    a dense finest level, whatever the pyramid depth; explicit sequences
-    must cover every level (a short one would silently skip fine levels
-    in the zip)."""
+    a dense finest level (derived from _LEVEL_SAMPLES), whatever the
+    pyramid depth; explicit sequences must cover every level (a short one
+    would silently skip fine levels in the zip)."""
     if samples is None:
-        return (1 << 14,) * (n_levels - 1) + (1 << 16,)
+        return (_LEVEL_SAMPLES[0],) * (n_levels - 1) + (_LEVEL_SAMPLES[-1],)
     samples = tuple(int(s) for s in samples)
     if len(samples) != n_levels:
         raise ValueError(
             f"samples has {len(samples)} entries for {n_levels} pyramid "
             "levels")
     return samples
+
+
+def _fixed_mask_pyramid(fixed: Volume, fixed_mask, levels: Sequence[int]):
+    """Normalize a fixed-image metric mask (Volume | array | None) to one
+    bool array per pyramid level (or all-None when unmasked)."""
+    if fixed_mask is None:
+        return (None,) * len(levels)
+    arr = fixed_mask.data if isinstance(fixed_mask, Volume) else fixed_mask
+    arr = np.asarray(arr)
+    if arr.shape != tuple(fixed.shape):
+        raise ValueError(
+            f"fixed_mask shape {arr.shape} != fixed image shape {fixed.shape}")
+    if not (arr > 0).any():
+        raise ValueError("fixed_mask is empty")
+    return _mask_pyramid(arr, levels)
 
 
 # -------------------------------------------------------------------- API
@@ -335,8 +401,19 @@ def register_rigid(
     lr: float = 0.5,
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
+    fixed_mask=None,
 ) -> RegistrationResult:
-    """6-DOF rigid registration of ``moving`` onto ``fixed``."""
+    """6-DOF rigid registration of ``moving`` onto ``fixed``.
+
+    ``fixed_mask`` (a Volume or bool array on the fixed grid) restricts the
+    metric to mask voxels — the fixed-image metric mask of the reference's
+    intended design (``SetMetricFixedMask``, reference
+    utils/qmri_utils.py:194-197; build one from an image with
+    :func:`fetal_t2mapping_tpu.ops.build_slice_mask`, the device port of
+    the reference's ``build_mask`` :223-252). Essential when structures
+    outside the target (e.g. maternal tissue around a fetal brain) move
+    independently of it.
+    """
     center = np.asarray(fixed.center_world(), np.float32)
     radius = float(np.linalg.norm(np.asarray(fixed.physical_extent)) / 2.0) or 1.0
     scale = np.float32(radius)  # rotations optimized in radius*mm units
@@ -347,12 +424,14 @@ def register_rigid(
         raise ValueError(
             f"levels/sigmas/iters lengths differ: {len(levels)}/"
             f"{len(sigmas)}/{len(iters)}")
+    mask_pyr = _fixed_mask_pyramid(fixed, fixed_mask, levels)
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
     level_ops = tuple(
         _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
-                      max_points=int(n_smp))
-        for (f_dat, f_sp), (m_dat, m_sp), n_smp in zip(f_pyr, m_pyr, samples))
+                      max_points=int(n_smp), mask_level=mlvl)
+        for (f_dat, f_sp), (m_dat, m_sp), n_smp, mlvl
+        in zip(f_pyr, m_pyr, samples, mask_pyr))
     params, hist = _run_levels(level_ops, jnp.asarray(center),
                                jnp.asarray(scale), params, jnp.float32(lr),
                                kind=metric, mode="rigid",
@@ -380,11 +459,14 @@ def register_affine(
     lr: float = 0.02,
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
+    fixed_mask=None,
 ) -> RegistrationResult:
     """12-DOF affine registration (the FLIRT replacement).
 
     The 9 matrix entries are optimized as perturbations of identity with a
     small lr (dimensionless), translations ride the same Adam scaling.
+    ``fixed_mask`` restricts the metric to fixed-image mask voxels (see
+    :func:`register_rigid`).
     """
     center = np.asarray(fixed.center_world(), np.float32)
     params = (jnp.zeros(12, jnp.float32) if init_params is None
@@ -394,12 +476,14 @@ def register_affine(
         raise ValueError(
             f"levels/sigmas/iters lengths differ: {len(levels)}/"
             f"{len(sigmas)}/{len(iters)}")
+    mask_pyr = _fixed_mask_pyramid(fixed, fixed_mask, levels)
     f_pyr = _device_pyramid(fixed, levels, sigmas)
     m_pyr = _device_pyramid(moving, levels, sigmas)
     level_ops = tuple(
         _level_inputs(fixed, f_dat, f_sp, moving, m_dat, m_sp,
-                      max_points=int(n_smp))
-        for (f_dat, f_sp), (m_dat, m_sp), n_smp in zip(f_pyr, m_pyr, samples))
+                      max_points=int(n_smp), mask_level=mlvl)
+        for (f_dat, f_sp), (m_dat, m_sp), n_smp, mlvl
+        in zip(f_pyr, m_pyr, samples, mask_pyr))
     params, hist = _run_levels(level_ops, jnp.asarray(center),
                                jnp.float32(1.0),  # scale unused in affine
                                params, jnp.float32(lr), kind=metric,

@@ -22,7 +22,7 @@ import numpy as np
 import pytest
 
 from fetal_t2mapping_tpu.core.volume import Volume
-from fetal_t2mapping_tpu.recon.registration import register_rigid
+from fetal_t2mapping_tpu.recon.registration import register_affine, register_rigid
 from fetal_t2mapping_tpu.recon.resample import resample_to_reference, resample_volume
 
 REG = dict(levels=(2, 1), sigmas=(1.0, 0.0), iters=(120, 60), lr=0.8)
@@ -166,6 +166,97 @@ def test_anisotropic_haste_slices():
     rot_err, t_err = _recovery_errors(T_true, reg.matrix, center)
     assert rot_err < 0.03, f"rotation error {rot_err:.4f} rad"
     assert t_err < 1.5, f"translation error {t_err:.2f} mm"
+
+
+def _fetal_scene(seed=23, shape=(48, 48, 48)):
+    """A small bright "fetal brain" blob cluster inside a LARGER, brighter
+    "maternal" background that will move independently of it.
+
+    Returns (brain_img, bg_img, brain_mask) on the fixed grid. The
+    background carries ~an order of magnitude more metric mass (more
+    voxels, comparable intensity), so an unmasked metric locks onto IT."""
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape
+    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing="ij")
+    c = (np.asarray(shape) - 1) / 2.0
+    r2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+    brain_region = r2 <= 8.0 ** 2
+
+    def blob(cz, cy, cx, s):
+        return np.exp(-(((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2)
+                        / (2 * s * s))).astype(np.float32)
+
+    brain = np.zeros(shape, np.float32)
+    for _ in range(12):
+        off = rng.uniform(-5, 5, 3)
+        brain += blob(*(c + off), rng.uniform(1.0, 1.8)) * rng.uniform(60, 140)
+    brain *= brain_region  # strictly inside the brain region
+
+    bg = np.zeros(shape, np.float32)
+    n_bg = 0
+    while n_bg < 40:
+        p = rng.uniform(5, np.asarray(shape) - 5)
+        # keep maternal structure clear of the brain + a safety margin so
+        # the correct brain pose isn't contaminated through mask samples
+        if ((p - c) ** 2).sum() < 16.0 ** 2:
+            continue
+        bg += blob(*p, rng.uniform(1.4, 2.6)) * rng.uniform(60, 140)
+        n_bg += 1
+    return brain, bg, brain_region
+
+
+def test_masked_registration_ignores_moving_background():
+    """VERDICT r2 item 1 'Done' criterion: brain and background move with
+    DIFFERENT rigid transforms. The unmasked metric, dominated by the
+    larger background, fails to recover the brain's transform; with a
+    fixed-image metric mask over the brain (the reference's
+    SetMetricFixedMask design, utils/qmri_utils.py:194-197) the engine
+    recovers it to <0.02 rad / <1 mm."""
+    brain, bg, brain_mask = _fetal_scene()
+    spacing = (2.0, 2.0, 2.0)
+    fixed = _vol(brain + bg, spacing)
+    center = np.asarray(fixed.center_world())
+    T_brain = _rigid_world_matrix(0.05, -0.04, 0.04, [3.0, -2.0, 2.0], center)
+    # background moves the OTHER way, and further
+    T_bg = _rigid_world_matrix(-0.08, 0.07, -0.06, [-6.0, 5.0, -4.0], center)
+    brain_m = resample_to_reference(_vol(brain, spacing), _vol(brain, spacing),
+                                    transform=T_brain)
+    bg_m = resample_to_reference(_vol(bg, spacing), _vol(bg, spacing),
+                                 transform=T_bg)
+    moving = _vol(brain_m.data + bg_m.data, spacing)
+
+    unmasked = register_rigid(fixed, moving, **REG)
+    rot_u, t_u = _recovery_errors(T_brain, unmasked.matrix, center)
+    assert rot_u > 0.02 or t_u > 1.0, (
+        f"unmasked unexpectedly recovered the brain pose "
+        f"({rot_u:.4f} rad, {t_u:.2f} mm) — scene not adversarial enough")
+
+    masked = register_rigid(fixed, moving, fixed_mask=brain_mask, **REG)
+    rot_m, t_m = _recovery_errors(T_brain, masked.matrix, center)
+    assert rot_m < 0.02, f"masked rotation error {rot_m:.4f} rad"
+    assert t_m < 1.0, f"masked translation error {t_m:.2f} mm"
+
+
+def test_masked_affine_and_mask_validation():
+    """fixed_mask on the affine path: self-registration under a mask stays
+    at identity; malformed masks are rejected loudly."""
+    comps, spacing = _tissue_blobs(seed=29)
+    img = sum(comps) * 100.0
+    fixed = _vol(img, spacing)
+    mask = img > 20.0
+    reg = register_affine(fixed, fixed, fixed_mask=mask,
+                          levels=(2, 1), sigmas=(1.0, 0.0), iters=(40, 20))
+    assert np.allclose(reg.matrix[:3, :3], np.eye(3), atol=0.02)
+    assert np.abs(reg.matrix[:3, 3]).max() < 1.0
+
+    with pytest.raises(ValueError, match="shape"):
+        register_rigid(fixed, fixed, fixed_mask=np.ones((4, 4, 4), bool),
+                       levels=(2, 1), sigmas=(1.0, 0.0), iters=(2, 2))
+    with pytest.raises(ValueError, match="empty"):
+        register_rigid(fixed, fixed,
+                       fixed_mask=np.zeros(fixed.shape, bool),
+                       levels=(2, 1), sigmas=(1.0, 0.0), iters=(2, 2))
 
 
 def test_per_te_contrast_drift():
