@@ -49,25 +49,40 @@ _UP = re.compile(r"conv_uparm_(\d+)_(\d+)")
 _HEAD = re.compile(r"likelihood")
 
 
-def _collect_conv_weights(h5file) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
-    """Walk the HDF5 tree; return {layer_name: (kernel, bias)}.
+def _collect_conv_weights(h5file):
+    """Walk the HDF5 tree; return ({layer_name: (kernel, bias)}, skipped).
 
     Handles both Keras layouts: datasets named ``.../kernel:0`` under a
-    layer group, and plain ``kernel``/``bias`` names.
+    layer group, and plain ``kernel``/``bias`` names. Real released files
+    carry more than conv weights — Keras ``optimizer_weights`` slots (Adam
+    moments reuse the ``kernel``/``bias`` leaf names), norm-layer
+    parameters (gamma/beta/moving_mean/...), training metadata — all of
+    which are SKIPPED and reported, never mistaken for model convs.
     """
     import h5py
 
     found: Dict[str, Dict[str, np.ndarray]] = {}
+    skipped: List[str] = []
 
     def visit(name, obj):
         if not isinstance(obj, h5py.Dataset):
             return
-        leaf = name.rsplit("/", 1)[-1].split(":")[0]
+        parts = name.split("/")
+        leaf = parts[-1].split(":")[0]
+        if "optimizer_weights" in parts or leaf in ("m", "v", "iter",
+                                                    "iterations"):
+            skipped.append(f"{name} (optimizer state)")
+            return
         if leaf not in ("kernel", "bias"):
+            skipped.append(f"{name} (non-conv dataset: {leaf})")
+            return
+        if leaf == "kernel" and np.ndim(obj) != 5:
+            skipped.append(f"{name} (kernel ndim {np.ndim(obj)}, not a "
+                           "Conv3D weight)")
             return
         layer = name.rsplit("/", 2)[-2] if "/" in name else name
         # the layer NAME is the path component carrying the unet tag
-        for part in reversed(name.split("/")):
+        for part in reversed(parts):
             if _DOWN.search(part) or _UP.search(part) or _HEAD.search(part):
                 layer = part
                 break
@@ -76,9 +91,42 @@ def _collect_conv_weights(h5file) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     h5file.visititems(visit)
     out = {}
     for layer, d in found.items():
-        if "kernel" in d:
-            out[layer] = (d["kernel"], d.get("bias"))
-    return out
+        if "kernel" not in d:
+            skipped.append(f"{layer} (bias without kernel)")
+            continue
+        if d.get("bias") is None:
+            raise ValueError(
+                f"conv layer {layer!r} has a kernel but no bias dataset — "
+                "not a Keras SynthSeg layout this converter understands")
+        out[layer] = (d["kernel"], d["bias"])
+    return out, skipped
+
+
+def _check_single_unet(down, up, head_names: List[str]) -> None:
+    """Reject multi-U-Net cascades (the ``--robust`` variant) loudly.
+
+    ``mri_synthseg --robust`` (which the reference invokes,
+    utils/qmri_utils.py:445) loads a DIFFERENT architecture — a cascade of
+    several U-Nets (denoiser + segmenter) whose layer names carry distinct
+    prefixes before the conv_downarm/uparm tags. Silently converting one
+    stack of it would produce a wrong segmenter; name the problem instead.
+    """
+    prefixes = set()
+    for name in ([n for _, _, n in down] + [n for _, _, n in up]
+                 + head_names):
+        for pat in (_DOWN, _UP, _HEAD):
+            m = pat.search(name)
+            if m:
+                prefixes.add(name[: m.start()].rstrip("_") or "<none>")
+                break
+    if len(prefixes) > 1 or len(head_names) > 1:
+        raise ValueError(
+            "this file contains MULTIPLE U-Net stacks (layer prefixes: "
+            f"{sorted(prefixes)}, {len(head_names)} likelihood heads) — it "
+            "looks like the SynthSeg --robust cascade variant, which is a "
+            "different architecture this converter does not translate; "
+            "convert the plain synthseg_1.0/2.0 single-U-Net weights "
+            "instead")
 
 
 def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, np.ndarray]:
@@ -86,13 +134,13 @@ def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, n
     import h5py
 
     with h5py.File(h5_path, "r") as f:
-        layers = _collect_conv_weights(f)
+        layers, skipped = _collect_conv_weights(f)
     if not layers:
         raise ValueError(f"no conv kernel/bias datasets found in {h5_path!r}")
 
     down: List[Tuple[int, int, str]] = []
     up: List[Tuple[int, int, str]] = []
-    head = None
+    heads: List[str] = []
     for name in layers:
         m = _DOWN.search(name)
         if m:
@@ -103,11 +151,15 @@ def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, n
             up.append((int(m.group(1)), int(m.group(2)), name))
             continue
         if _HEAD.search(name):
-            head = name
-    if head is None or not down or not up:
+            heads.append(name)
+        else:
+            skipped.append(f"{name} (conv layer outside the unet naming)")
+    if not heads or not down or not up:
         raise ValueError(
             f"unrecognized layer naming in {h5_path!r}: need "
             f"conv_downarm_*/conv_uparm_*/likelihood, got {sorted(layers)}")
+    _check_single_unet(down, up, heads)
+    head = heads[0]
 
     n_levels = max(lv for lv, _, _ in down) + 1
     params: Dict[str, np.ndarray] = {}
@@ -149,6 +201,8 @@ def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, n
     if verbose:
         for src, dst in mapping:
             print(f"  {src:40s} -> {dst:10s} {params[dst + '_w'].shape}")
+        for name in skipped:
+            print(f"  skipped: {name}")
         print(f"config: {cfg}")
 
     np.savez(npz_path, **params)

@@ -89,14 +89,21 @@ def _loglin_tiles(s, te):
 
 def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
                        hi: Tuple[float, float], max_iters: int, ftol: float,
-                       gtol: float, no_prior: bool,
+                       gtol: float, no_prior: bool, full_budget: bool,
                        sig_ref, params_ref, stats_ref):
     """One (T, BR, 128) block: init + full Newton loop for the gaussian model.
 
     no_prior=True reproduces the reference's per-voxel bound rule
     (run_t2mapping.py:243-245): k's lower bound is the voxel's own signal at
     the shortest TE — a per-voxel quantity, but free here because the signal
-    tile is already in VMEM."""
+    tile is already in VMEM.
+
+    full_budget=True disables the block's early exit so the while_loop runs
+    exactly max_iters — a BENCH INSTRUMENT for measuring the true marginal
+    per-iteration cost (with early exit, converged blocks skip budgeted
+    iterations and a two-point budget timing understates the loop body).
+    Per-voxel convergence bookkeeping (and the freeze of converged
+    iterates) is unchanged, so results are identical to the default path."""
     T = len(te)
     inv_t = 1.0 / T
     s = [sig_ref[t] for t in range(T)]
@@ -225,6 +232,8 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
 
     def cond(carry):
         it, convf = carry[6], carry[4]
+        if full_budget:
+            return it < max_iters
         return (it < max_iters) & (jnp.min(convf) < 0.5)
 
     shape = s[0].shape
@@ -524,15 +533,16 @@ def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
 
 @functools.partial(jax.jit,
                    static_argnames=("te", "lo", "hi", "max_iters", "ftol",
-                                    "gtol", "no_prior", "interpret"))
+                                    "gtol", "no_prior", "interpret",
+                                    "full_budget"))
 def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol, gtol=0.0,
-                     no_prior=False, interpret=False):
+                     no_prior=False, interpret=False, full_budget=False):
     """Run the fused kernel over (T, R, 128) tiles -> ((2,R,128), (3,R,128))."""
     T, R, _ = sig_tiles.shape
     br = _block_rows(R)
     grid = (pl.cdiv(R, br),)
     kernel = functools.partial(_gauss_kernel_body, te, lo, hi, max_iters, ftol,
-                               gtol, no_prior)
+                               gtol, no_prior, full_budget)
     params, stats = pl.pallas_call(
         kernel,
         grid=grid,

@@ -176,6 +176,14 @@ def jpegll_decode(data: bytes):
     if rc != 0:
         raise ValueError(f"jpegll: malformed stream (native code {rc})")
     n = rows.value * cols.value * comps.value
+    # header dims come from an UNTRUSTED stream: cap the allocation (a
+    # crafted 65535x65535x4 header would otherwise np.empty ~34 GB before
+    # any pixel is decoded). 2^26 pixels (128 MB) dwarfs any legitimate
+    # single DICOM frame.
+    if n <= 0 or n > (1 << 26):
+        raise ValueError(
+            f"jpegll: implausible frame header "
+            f"{rows.value}x{cols.value}x{comps.value}")
     out = np.empty(n, np.uint16)
     rc = lib.ft2_jpegll_decode(
         buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

@@ -126,6 +126,14 @@ def process_t2maps(
                                       fast=fast, sim=sim, make_plots=make_plots))
     finally:
         if ex:
+            # if _fit_one raised for session i, the already-submitted
+            # prefetch for i+1 is abandoned: consume it so shutdown doesn't
+            # block on unneeded IO and its own exception isn't dropped
+            if pending is not None and not pending.cancel():
+                try:
+                    pending.result()
+                except Exception:
+                    log.exception("abandoned prefetch load failed")
             ex.shutdown(wait=True)
     return summaries
 

@@ -14,9 +14,10 @@ JPEG Lossless Process 14 / SV1 (1.2.840.10008.1.2.4.57/.70, via
 native ft2_jpegll_decode with a pure-Python utils/jpegll.py fallback), and
 JPEG 2000 / JPEG 2000 Lossless (1.2.840.10008.1.2.4.90/.91, via the
 image's OpenJPEG through PIL — writing an EBCOT Tier-1 coder in-repo buys
-nothing over the system codec), and 8-bit lossy classic JPEG
-(1.2.840.10008.1.2.4.50/.51 via PIL/libjpeg). Only 12-bit Extended lossy
-JPEG still requires dcm2niix.
+nothing over the system codec), and lossy classic JPEG
+(1.2.840.10008.1.2.4.50/.51: 8-bit via PIL/libjpeg, 12-bit Extended via
+the in-repo sequential-DCT codec utils/jpegdct.py). Every transfer syntax
+dcm2niix handles now decodes in-repo.
 
 If pydicom IS importable it is used transparently (read_dcm prefers it).
 """
@@ -330,14 +331,44 @@ _J2K_SOC = b"\xff\x4f\xff\x51"
 _JP2_SIG = b"\x00\x00\x00\x0cjP"
 # Lossy classic JPEG: Baseline Process 1 (.4.50) and Extended Process 2&4
 # (.4.51). 8-bit streams decode through PIL/libjpeg; 12-bit Extended
-# streams are outside stock libjpeg and still raise toward dcm2niix.
+# streams (outside stock libjpeg) decode through the in-repo sequential-DCT
+# codec (utils/jpegdct.py) — every transfer syntax dcm2niix covers now
+# decodes in-repo.
 _TS_JPEG_LOSSY = ("1.2.840.10008.1.2.4.50", "1.2.840.10008.1.2.4.51")
 
 
+def _jpeg_stream_precision(stream: bytes) -> int:
+    """Sample precision from the first SOF0/SOF1 segment (0 if not found)."""
+    pos = 2
+    while pos + 4 <= len(stream):
+        marker = struct.unpack_from(">H", stream, pos)[0]
+        if marker in (0xFFC0, 0xFFC1):
+            return stream[pos + 4]
+        if marker in (0xFFD9, 0xFFDA):
+            break
+        if not (0xFF01 <= marker <= 0xFFFE):
+            break
+        pos += 2 + struct.unpack_from(">H", stream, pos + 2)[0]
+    return 0
+
+
 def _jpeg_lossy_decode_stream(stream: bytes, path: str) -> np.ndarray:
-    """One baseline/extended JPEG stream -> numpy array via PIL/libjpeg."""
+    """One baseline/extended JPEG stream -> numpy array.
+
+    8-bit goes through PIL/libjpeg (fast C, handles YBR subsampling);
+    12-bit Extended goes through the in-repo DCT codec, which stock
+    libjpeg cannot represent (the reference needs the dcm2niix binary for
+    these, utils/dcm_utils.py:259-312)."""
     import io
 
+    if _jpeg_stream_precision(stream) > 8:
+        from . import jpegdct
+
+        try:
+            return jpegdct.decode(stream)
+        except jpegdct.JpegError as e:
+            raise InvalidDicomError(
+                f"{path}: 12-bit extended JPEG decode failed: {e}") from e
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - PIL is in the image
@@ -349,8 +380,7 @@ def _jpeg_lossy_decode_stream(stream: bytes, path: str) -> np.ndarray:
             arr = np.asarray(im)
     except Exception as e:
         raise InvalidDicomError(
-            f"{path}: lossy JPEG decode failed ({e}); 12-bit Extended "
-            "streams need dcm2niix") from e
+            f"{path}: lossy JPEG decode failed ({e})") from e
     return arr
 
 
@@ -480,6 +510,11 @@ def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
     stacked = frames[0] if len(frames) == 1 else np.stack(frames)
     ds_elements[_STOP_TAG] = np.ascontiguousarray(stacked).astype(
         stacked.dtype.newbyteorder("<")).tobytes()
+    if ts in _TS_JPEG_LOSSY and samples > 1:
+        # PIL hands back RGB-converted pixels for YBR-coded lossy streams;
+        # rewrite PhotometricInterpretation so a consumer honoring it does
+        # not color-convert a second time
+        ds_elements[(0x0028, 0x0004)] = "RGB"
 
 
 def is_dcm_file(path: str) -> bool:

@@ -211,6 +211,10 @@ def decode(data: bytes) -> np.ndarray:
             raise JpegError(f"missing Huffman table {td}")
         tabs.append(htabs[td])
 
+    # SOF dims are untrusted input: cap the allocation (65535^2 x 4 comps
+    # would be ~68 GB of int32). 2^26 pixels dwarfs any real DICOM frame.
+    if nf * rows * cols > (1 << 26):
+        raise JpegError(f"implausible frame header {rows}x{cols}x{nf}")
     out = np.zeros((nf, rows, cols), np.int32)
     r = _BitReader(data, scan_start)
     default = 1 << (precision - pt - 1)

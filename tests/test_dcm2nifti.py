@@ -73,6 +73,70 @@ def write_test_dicom(path, pixel: np.ndarray, *, ipp, iop=(1, 0, 0, 0, 1, 0),
         f.write(b"\x00" * 128 + b"DICM" + meta + body)
 
 
+def write_test_dicom_multiframe(path, frames: np.ndarray, *, ipp,
+                                iop=(1, 0, 0, 0, 1, 0), spacing=(1.0, 1.0),
+                                dz=4.0, te=114.0, series_uid="1.2.3.7"):
+    """Enhanced-style multi-frame Part-10 file: NumberOfFrames frames
+    stacked along the IOP normal from ImagePositionPatient at
+    SpacingBetweenSlices — the one-file-per-acquisition layout the
+    reference ingests with ``dcm2niix -s y`` (reference
+    utils/dcm_utils.py:259-312). Geometry is top-level (no per-frame
+    functional groups), which series_to_volume supports as the fallback."""
+    n, rows, cols = frames.shape
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", _TS_EXPLICIT.encode())
+    meta = _el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+
+    def s(v):
+        return str(v).encode()
+
+    def ds_list(vals):
+        return "\\".join(f"{v:g}" for v in vals).encode()
+
+    body = b"".join([
+        _el_explicit(0x0008, 0x0060, b"CS", b"MR"),
+        _el_explicit(0x0008, 0x103E, b"LO", b"t2_haste_mf"),
+        _el_explicit(0x0018, 0x0050, b"DS", s(dz)),
+        _el_explicit(0x0018, 0x0081, b"DS", s(te)),
+        _el_explicit(0x0018, 0x0088, b"DS", s(dz)),
+        _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode()),
+        _el_explicit(0x0020, 0x0013, b"IS", s(1)),
+        _el_explicit(0x0020, 0x0032, b"DS", ds_list(ipp)),
+        _el_explicit(0x0020, 0x0037, b"DS", ds_list(iop)),
+        _el_explicit(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        _el_explicit(0x0028, 0x0008, b"IS", s(n)),
+        _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _el_explicit(0x0028, 0x0030, b"DS", ds_list(spacing)),
+        _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        _el_explicit(0x7FE0, 0x0010, b"OW",
+                     np.ascontiguousarray(frames, np.uint16).tobytes()),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def test_multiframe_enhanced_geometry(tmp_path):
+    """The enhanced single-file branch of series_to_volume: frames stack
+    along the IOP normal at SpacingBetweenSlices from the top-level IPP."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 4000, size=(5, 6, 8)).astype(np.uint16)
+    p = str(tmp_path / "mf.dcm")
+    # coronal: rows = -z, cols = +x -> normal = +y
+    write_test_dicom_multiframe(p, frames, ipp=(1.0, 2.0, 30.0),
+                                iop=(1, 0, 0, 0, 0, -1), spacing=(1.5, 2.0),
+                                dz=4.0)
+    vol, ref = series_to_volume([p])
+    np.testing.assert_array_equal(np.asarray(vol.data), frames.astype(np.float32))
+    assert vol.spacing == (2.0, 1.5, 4.0)
+    assert vol.origin == (1.0, 2.0, 30.0)
+    D = np.asarray(vol.direction).reshape(3, 3)
+    np.testing.assert_allclose(D[:, 0], [1, 0, 0])    # x = row dir
+    np.testing.assert_allclose(D[:, 1], [0, 0, -1])   # y = col dir
+    np.testing.assert_allclose(D[:, 2], [0, 1, 0])    # z = normal
+    assert int(ref.get("NumberOfFrames")) == 5
+
+
 def _make_series(tmp_path, n_slices=5, explicit=True, shuffle=True):
     rng = np.random.default_rng(0)
     truth = rng.integers(0, 4000, size=(n_slices, 6, 8)).astype(np.uint16)
@@ -523,3 +587,71 @@ def test_jpeg_encapsulated_raises_clear_error(tmp_path):
     open(p, "wb").write(raw)
     with pytest.raises(InvalidDicomError, match="dcm2niix"):
         read_dcm(p, with_pixels=True)
+
+
+def write_test_dicom_jpeg12(path, pixel: np.ndarray, *, ipp, te=114.0,
+                            series_uid="1.2.3.21"):
+    """Single-frame 12-bit Extended lossy JPEG (TS 1.2.840.10008.1.2.4.51)
+    Part-10 file — the one transfer syntax that needed dcm2niix until
+    round 3 (reference utils/dcm_utils.py:259-312)."""
+    from fetal_t2mapping_tpu.utils import jpegdct
+
+    rows, cols = pixel.shape
+    ts = "1.2.840.10008.1.2.4.51"
+    meta_body = _el_explicit(0x0002, 0x0010, b"UI", ts.encode())
+    meta = _el_explicit(0x0002, 0x0000, b"UL",
+                        struct.pack("<I", len(meta_body))) + meta_body
+
+    def s(v):
+        return str(v).encode()
+
+    def ds_list(vals):
+        return "\\".join(f"{v:g}" for v in vals).encode()
+
+    body = b"".join([
+        _el_explicit(0x0008, 0x0060, b"CS", b"MR"),
+        _el_explicit(0x0008, 0x103E, b"LO", b"t2_haste_j12"),
+        _el_explicit(0x0018, 0x0050, b"DS", s(3.0)),
+        _el_explicit(0x0018, 0x0081, b"DS", s(te)),
+        _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode()),
+        _el_explicit(0x0020, 0x0013, b"IS", s(1)),
+        _el_explicit(0x0020, 0x0032, b"DS", ds_list(ipp)),
+        _el_explicit(0x0020, 0x0037, b"DS", ds_list((1, 0, 0, 0, 1, 0))),
+        _el_explicit(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _el_explicit(0x0028, 0x0030, b"DS", ds_list((1.5, 2.0))),
+        _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        _el_explicit(0x0028, 0x0101, b"US", struct.pack("<H", 12)),
+        _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+    ])
+    stream = jpegdct.encode(np.ascontiguousarray(pixel, np.uint16),
+                            precision=12, quant=1)
+    if len(stream) % 2:
+        stream += b"\x00"
+    pd = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pd += struct.pack("<HHI", 0xFFFE, 0xE000, 0)              # empty BOT
+    pd += struct.pack("<HHI", 0xFFFE, 0xE000, len(stream)) + stream
+    pd += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)              # delimiter
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body + pd)
+
+
+def test_jpeg12_extended_pixels_and_convert(tmp_path):
+    """12-bit Extended (.4.51) decodes in-repo: read_dcm pixel accuracy +
+    full conversion to NIfTI through convert_series."""
+    yy, xx = np.mgrid[0:24, 0:16].astype(np.float64)
+    truth = np.clip(np.round(2000 + 900 * np.sin(yy / 4) * np.cos(xx / 3)),
+                    0, 4095).astype(np.uint16)
+    p = str(tmp_path / "j12.dcm")
+    write_test_dicom_jpeg12(p, truth, ipp=(1.0, 2.0, 3.0))
+    ds = read_dcm(p, with_pixels=True)
+    arr = np.frombuffer(ds.get("PixelData"), "<u2").reshape(24, 16)
+    # lossy only through coefficient rounding at quant=1
+    assert np.max(np.abs(arr.astype(int) - truth.astype(int))) <= 4
+
+    out = str(tmp_path / "j12")
+    convert_series([p], out)
+    vol = nifti.read(out + ".nii.gz")
+    assert vol.shape == (1, 24, 16)
+    assert np.max(np.abs(np.asarray(vol.data)[0] - truth.astype(np.float32))) <= 4

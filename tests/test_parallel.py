@@ -176,3 +176,57 @@ class TestAdversarialSharding:
                                       np.asarray(res_1.converged))
         rel = np.abs(np.asarray(res_8.t2)[mask] - t2[mask]) / t2[mask]
         assert rel.max() < 1e-3
+
+    def test_fit_volume_sharded_large_nondivisible(self):
+        """VERDICT r2 item 9: a >=10^5-voxel sharded fit with mask geometry
+        that divides into the 8-way mesh UNEVENLY — per-shard masked counts
+        all different and none a multiple of the 128-lane/8-row tiles — so
+        per-shard padding and block-capacity rounding actually interact
+        like production masks. Asserts map parity with the single-device
+        program and first-class overflow accounting on both paths."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fetal_t2mapping_tpu.models.volume_fit import fit_volume
+
+        mesh = voxel_mesh()
+        rng = np.random.default_rng(11)
+        z, y, x = 56, 48, 48                      # 129,024 voxels; 56 = 8*7
+        te = np.array([114.0, 202.0, 299.0], np.float32)
+        t2 = rng.uniform(30, 450, (z, y, x)).astype(np.float32)
+        k = rng.uniform(600, 4000, (z, y, x)).astype(np.float32)
+        sig = (k[..., None] * np.exp(-te / t2[..., None])).astype(np.float32)
+        sig = np.maximum(sig + rng.normal(0, 6.0, sig.shape), 1e-2).astype(np.float32)
+
+        # ragged brain-ish mask: tilted ellipsoid + holes -> per-shard
+        # masked counts are all different and never tile-aligned
+        zz, yy, xx = np.meshgrid(np.linspace(-1, 1, z), np.linspace(-1, 1, y),
+                                 np.linspace(-1, 1, x), indexing="ij")
+        mask = ((zz + 0.15 * yy) / 0.8) ** 2 + (yy / 0.7) ** 2 \
+            + ((xx - 0.1 * zz) / 0.6) ** 2 <= 1.0
+        mask &= rng.uniform(size=mask.shape) > 0.05   # 5% holes
+        per_shard = mask.reshape(8, -1).sum(axis=1)
+        assert len(set(per_shard.tolist())) > 4       # genuinely uneven
+        assert int(mask.sum()) > 20_000
+
+        kw = dict(model="gaussian", mask_frac=0.6)
+        res_1 = fit_volume(sig, mask, tuple(te.tolist()), (0.0, 10.0),
+                           (1e6, 2000.0), **kw)
+        sig_sh = jax.device_put(sig, NamedSharding(mesh, P("vox", None, None, None)))
+        mask_sh = jax.device_put(mask, NamedSharding(mesh, P("vox", None, None)))
+        res_8 = fit_volume(sig_sh, mask_sh, tuple(te.tolist()), (0.0, 10.0),
+                           (1e6, 2000.0), **kw)
+
+        assert int(res_8.n_masked) == int(res_1.n_masked) == int(mask.sum())
+        assert int(res_8.n_overflow) == 0 and int(res_1.n_overflow) == 0
+        np.testing.assert_array_equal(np.asarray(res_8.converged),
+                                      np.asarray(res_1.converged))
+        np.testing.assert_allclose(np.asarray(res_8.t2), np.asarray(res_1.t2),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res_8.k), np.asarray(res_1.k),
+                                   rtol=1e-6, atol=1e-3)
+        # accuracy against simulation truth on identifiable masked voxels
+        ident = mask & (k * np.exp(-te[-1] / t2) >= 3 * 6.0)
+        got = np.asarray(res_8.t2)[ident]
+        rel = np.abs(got - t2[ident]) / t2[ident]
+        assert np.median(rel) < 2e-2
