@@ -474,24 +474,37 @@ def run_unet_bench():
     cfg = UNetConfig()
     params = {k: jnp.asarray(v) for k, v in random_params(cfg).items()}
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, n, n, n, 1), jnp.float32)
-    out = _segment_jit(params, x, cfg)
-    float(jnp.mean(out.astype(jnp.float32)))  # compile + sync
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [_segment_jit(params, x, cfg) for _ in range(2)]
-        float(sum(jnp.mean(o.astype(jnp.float32)) for o in outs))
-        times.append((time.perf_counter() - t0) / 2)
-    dt = float(np.median(times))
-    rate = n ** 3 / dt
+
+    def timed(dtype):
+        out = _segment_jit(params, x, cfg, dtype)
+        float(jnp.mean(out.astype(jnp.float32)))  # compile + sync
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [_segment_jit(params, x, cfg, dtype) for _ in range(2)]
+            float(sum(jnp.mean(o.astype(jnp.float32)) for o in outs))
+            times.append((time.perf_counter() - t0) / 2)
+        return float(np.median(times)), np.asarray(out)
+
+    dt32, lab32 = timed(jnp.float32)
+    dt16, lab16 = timed(jnp.bfloat16)    # production TPU path
+    agree = float((lab16 == lab32).mean())
+    if agree < 0.97:
+        print(f"unet gate FAILED: bf16/fp32 label agreement {agree:.4f} "
+              "< 0.97", file=sys.stderr)
+        raise SystemExit(1)
+    rate = n ** 3 / dt16
     print(f"# 160^3 U-Net forward (SynthSeg architecture, argmax labels): "
-          f"{dt*1e3:.1f} ms, {rate/1e6:.1f} M voxels/s", file=sys.stderr)
+          f"bf16 {dt16*1e3:.1f} ms ({rate/1e6:.1f} M voxels/s), fp32 "
+          f"{dt32*1e3:.1f} ms, label agreement {agree:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "unet_forward_160_voxels_per_sec",
         "value": round(rate, 1),
-        "unit": f"voxels/s (160^3, {dt*1e3:.1f} ms; 5-level SynthSeg "
-                "architecture, bf16-free fp32 MXU convs + argmax)",
+        "unit": f"voxels/s (160^3, bf16-input/fp32-accumulate MXU convs "
+                f"{dt16*1e3:.1f} ms vs fp32 {dt32*1e3:.1f} ms; 5-level "
+                "SynthSeg architecture + argmax)",
         "vs_baseline": None,
+        "bf16_fp32_label_agreement": round(agree, 4),
     }))
     sys.stdout.flush()
 

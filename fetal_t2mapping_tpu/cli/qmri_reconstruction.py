@@ -32,8 +32,17 @@ def parse_arguments(argv=None):
                         choices=sorted(C.PHANTOM_SEEDS),
                         help="Phantom seed set (in-vitro only)")
     parser.add_argument("--synthseg", type=str, default="subprocess",
-                        choices=["subprocess", "fake"],
-                        help="Segmentation backend ('fake' needs no FreeSurfer)")
+                        choices=["subprocess", "jax", "fake"],
+                        help="Segmentation backend ('jax' runs the converted "
+                             "weights on device; 'fake' needs no FreeSurfer)")
+    parser.add_argument("--masked_metric", action="store_true",
+                        help="Restrict registration metrics to an automatic "
+                             "fixed-image signal mask (threshold+fill+"
+                             "dilate+erode per slice, excluding air/no-"
+                             "signal regions) — the reference's "
+                             "SetMetricFixedMask design (registration_itk); "
+                             "pass an explicit fixed_mask through the API "
+                             "to isolate a structure instead")
     return parser.parse_args(argv)
 
 
@@ -52,6 +61,8 @@ def main(argv=None):
         low_field=args.lf,
         synthseg=SynthSegRunner(mode=args.synthseg),
         seeds_key=args.seeds,
+        registration_kwargs=(dict(fixed_mask="auto")
+                             if args.masked_metric else None),
     )
     return 0
 

@@ -361,10 +361,22 @@ def _level_samples(samples, n_levels: int):
 
 
 def _fixed_mask_pyramid(fixed: Volume, fixed_mask, levels: Sequence[int]):
-    """Normalize a fixed-image metric mask (Volume | array | None) to one
-    bool array per pyramid level (or all-None when unmasked)."""
+    """Normalize a fixed-image metric mask (Volume | array | "auto" | None)
+    to one bool array per pyramid level (or all-None when unmasked).
+
+    "auto" builds the mask from the fixed image itself with the
+    threshold+fill+dilate+erode slice pipeline (ops.build_slice_mask) —
+    exactly what the reference's ``registration_itk`` does internally
+    before ``SetMetricFixedMask`` (utils/qmri_utils.py:186-197,223-252)."""
     if fixed_mask is None:
         return (None,) * len(levels)
+    if isinstance(fixed_mask, str):
+        if fixed_mask != "auto":
+            raise ValueError(f"fixed_mask must be an array, a Volume, "
+                             f"'auto' or None; got {fixed_mask!r}")
+        from ..ops.morphology import build_slice_mask
+
+        fixed_mask = build_slice_mask(jnp.asarray(fixed.data, jnp.float32))
     arr = fixed_mask.data if isinstance(fixed_mask, Volume) else fixed_mask
     arr = np.asarray(arr)
     if arr.shape != tuple(fixed.shape):

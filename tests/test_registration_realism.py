@@ -259,6 +259,25 @@ def test_masked_affine_and_mask_validation():
                        levels=(2, 1), sigmas=(1.0, 0.0), iters=(2, 2))
 
 
+def test_auto_fixed_mask_recovers_under_air_background():
+    """fixed_mask='auto' (threshold+fill+dilate+erode signal mask, the
+    registration_itk build_mask pipeline) excludes air: recovery still
+    holds, and the mask machinery runs end to end from a string spec."""
+    comps, spacing = _tissue_blobs(seed=31)
+    img = sum(comps) * 100.0
+    fixed = _vol(img, spacing)
+    center = np.asarray(fixed.center_world())
+    T_true = _rigid_world_matrix(0.05, -0.04, 0.03, [3.0, -2.0, 2.0], center)
+    moving = resample_to_reference(fixed, fixed, transform=T_true)
+    reg = register_rigid(fixed, moving, fixed_mask="auto", **REG)
+    rot_err, t_err = _recovery_errors(T_true, reg.matrix, center)
+    assert rot_err < 0.02 and t_err < 1.0
+
+    with pytest.raises(ValueError, match="auto"):
+        register_rigid(fixed, fixed, fixed_mask="magic",
+                       levels=(2, 1), sigmas=(1.0, 0.0), iters=(2, 2))
+
+
 def test_per_te_contrast_drift():
     """Echo-to-echo registration: each structure decays with its own T2, so
     the second echo is NOT a scalar multiple of the first (per-structure

@@ -95,3 +95,26 @@ def test_runner_jax_requires_weights():
         assert not r.available()
         with pytest.raises(ValueError):
             r.run("/tmp/nonexistent_in", "/tmp/nonexistent_out")
+
+
+def test_bf16_compute_matches_fp32_labels():
+    """The TPU production path feeds the MXU bf16 inputs with fp32
+    accumulation; class decisions must match full precision away from
+    decision boundaries."""
+    import jax.numpy as jnp
+
+    from fetal_t2mapping_tpu.labels.unet3d import (
+        UNetConfig, random_params, unet_apply)
+
+    cfg = UNetConfig(n_levels=3, n_conv_per_level=2, base_features=4,
+                     n_labels=5)
+    params = {k: jnp.asarray(v) for k, v in random_params(cfg, seed=3).items()}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 16, 1)), jnp.float32)
+    lg32 = np.asarray(unet_apply(params, x, cfg, jnp.float32))
+    lg16 = np.asarray(unet_apply(params, x, cfg, jnp.bfloat16))
+    assert lg16.dtype == np.float32          # fp32 accumulation throughout
+    scale = max(float(np.std(lg32)), 1e-6)
+    assert np.abs(lg16 - lg32).max() / scale < 0.1
+    agree = (lg16.argmax(-1) == lg32.argmax(-1)).mean()
+    assert agree > 0.97, f"bf16/fp32 label agreement {agree:.4f}"
