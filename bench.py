@@ -139,8 +139,12 @@ def run_model(model, tes, *, headline=False):
         kwargs = dict(guess=(650.0, 110.0, 40.0), ftol=1e-2, gtol=1e-2)
 
     def fit(signal):
+        # sync=False: the timing loop chains ``reps`` fits per scalar-read
+        # sync; fit_fused's default per-call drain would add ~30 ms of
+        # fixed tunnel round-trip latency to every rep (measured 128 vs
+        # 98 ms/fit at 256^3)
         return fit_fused(signal, tes, lo, hi, model=model,
-                         phase1_iters=10, max_iters=60, **kwargs)
+                         phase1_iters=10, max_iters=60, sync=False, **kwargs)
 
     sig_dev = jax.device_put(sig)
 
