@@ -328,8 +328,12 @@ def run_mosaic_parity():
     sig, k, t2 = _make_data(n, TES3, seed=5)
     # non-identifiable (noise-floor) voxels sit on a degenerate SSE ridge
     # where codegen-level ulp differences legitimately pick different
-    # (k, T2) of EQUAL objective — parity there is asserted on the
-    # objective value, parity of the parameters on identifiable voxels
+    # (k, T2): parity (params AND objective) is asserted on identifiable
+    # voxels. (The ridge objective itself became path-dependent when the
+    # kernel gained the scipy-ftol-style slow-progress stop: a one-ulp
+    # accept/reject flip shifts WHERE along the ridge the stop rule fires,
+    # so ridge voxels can halt at ~2% different f — measured; identifiable
+    # voxels agree to ~4e-3.)
     ident = k * np.exp(-TES3[-1] / t2) >= 3 * 8.0
     sig_dev = jax.device_put(sig)
     worst = 0.0
@@ -359,7 +363,8 @@ def run_mosaic_parity():
             cols, tol_x, tol_f = slice(0, 2), 1e-2, None
         rel = float((np.abs(x_i[:, cols] - x_c[:, cols])
                      / np.maximum(np.abs(x_i[:, cols]), 1.0))[ident].max())
-        rel_f = float((np.abs(f_i - f_c) / np.maximum(np.abs(f_i), 1.0)).max())
+        rel_f = float((np.abs(f_i - f_c)
+                       / np.maximum(np.abs(f_i), 1.0))[ident].max())
         dconv = abs(conv_i - conv_c)
         worst = max(worst, rel, rel_f if tol_f else 0.0)
         # fp32 Newton amplifies codegen-level ulp differences (fma fusion,

@@ -14,10 +14,20 @@ VPU tile with zero cross-lane traffic. One exp per TE per iteration (the
 model values at the current iterate are carried and swapped on accept, so
 the gradient/Hessian pass is transcendental-free).
 
+The gaussian body is a VARPRO (variable projection) iteration: the linear
+parameter k rides at its closed-form conditional optimum and damped Newton
+runs 1-D in t2 with the Schur-complement reduced curvature — see
+_gauss_kernel_body for why this is what makes per-block early exit
+actually fire on noisy volumes. The 3-parameter bodies (sigma is not
+linear) run the damped projected-Newton multistart.
+
 Replaces the reference's per-voxel ``scipy.optimize.minimize(L-BFGS-B)``
 over ``multiprocessing.Pool(20)`` (reference run_t2mapping.py:120-312,
 442-443). Semantics (bounds projection, ftol/stall convergence tests,
-last-iterate-on-failure) mirror models.solver._make_voxel_step.
+last-iterate-on-failure) mirror models.solver._make_voxel_step; the
+gaussian body walks a different (reduced, VARPRO) parameterization than
+the solver's 2x2 Newton but converges to the same constrained optima —
+cross-engine agreement is pinned by the scipy-parity suite.
 
 Driver ``fit_fused`` has two strategies (resolve_strategy picks by the
 measured crossover):
@@ -27,17 +37,19 @@ measured crossover):
   soon as all its voxels converge, so clean blocks cost what a short pass
   would and straggler blocks iterate privately in VMEM. No
   partition/gather/scatter traffic exists at all — at 256^3 x 3 TEs this
-  is ~104 ms vs ~165 ms for the two-phase path (the merge scatter alone is
-  ~85 ms: TPU scatters serialize over update rows).
+  is ~71 ms (the VARPRO body + slow-progress stop make the early exit
+  actually fire; see _gauss_kernel_body) vs ~260 ms for the 3-param
+  two-phase path.
 * ``twophase`` (3-param default): a short phase-1 pass over all voxels,
   then a fully on-device compaction (stable sort partition, no host sync —
   a host round trip costs more than the whole fit) gathers the unconverged
-  tail into a small buffer for the remaining budget, escalating for up to
-  ``tail_rounds`` rounds; voxels still beyond capacity are counted in
-  ``FitResult.n_overflow``. Wins when the per-straggler-iteration cost of
-  running the WHOLE batch exceeds the fixed compaction traffic — i.e. for
-  large budgets, or for the 3x-heavier multistart kernels (measured:
-  gaussian_rician 335 ms twophase vs 680 ms single at 256^3).
+  tail — in ``tail_block``-voxel granules — into a small buffer for the
+  remaining budget, escalating for up to ``tail_rounds`` rounds; voxels
+  still beyond capacity are counted in ``FitResult.n_overflow``. Wins when
+  the per-straggler-iteration cost of running the WHOLE batch exceeds the
+  fixed compaction traffic — i.e. for large budgets, or for the
+  3x-heavier multistart kernels (measured: gaussian_rician 263 ms twophase
+  vs 658 ms single at 256^3).
 
 Both strategies produce bit-identical parameters (same start, same damped
 Newton recurrence, same per-voxel budget).
@@ -46,6 +58,7 @@ Newton recurrence, same per-voxel budget).
 from __future__ import annotations
 
 import functools
+from math import gcd
 from typing import Sequence, Tuple
 
 import jax
@@ -90,6 +103,7 @@ def _loglin_tiles(s, te):
 def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
                        hi: Tuple[float, float], max_iters: int, ftol: float,
                        gtol: float, no_prior: bool, full_budget: bool,
+                       stall_iters: int, stall_tol: float,
                        sig_ref, params_ref, stats_ref):
     """One (T, BR, 128) block: init + full Newton loop for the gaussian model.
 
@@ -103,7 +117,15 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
     per-iteration cost (with early exit, converged blocks skip budgeted
     iterations and a two-point budget timing understates the loop body).
     Per-voxel convergence bookkeeping (and the freeze of converged
-    iterates) is unchanged, so results are identical to the default path."""
+    iterates) is unchanged, so results are identical to the default path.
+
+    stall_iters > 0 adds a scipy-ftol-style stop: ``stall_iters``
+    consecutive ACCEPTED steps each improving f by no more than
+    ``stall_tol`` (relative) declare the voxel converged, with no damping
+    guard — matching scipy L-BFGS-B, which stops with success on one slow
+    improvement at the reference's production ftol
+    (run_t2mapping.py:38-46). See the comment in the loop body for why
+    this matters for block early exit. 0 disables (legacy behavior)."""
     T = len(te)
     inv_t = 1.0 / T
     s = [sig_ref[t] for t in range(T)]
@@ -154,12 +176,32 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
     tol_k = 1e-8 * jnp.maximum(hi_k - lo_k, 1.0)   # tile when no_prior
     tol_t = 1e-8 * max(hi_t2 - lo_t2, 1.0)
 
+    def kstar(es):
+        # conditional optimum of the LINEAR parameter: argmin_k SSE(k, t2)
+        # is a 1-D least squares with closed form, and projecting it onto
+        # [lo_k, hi_k] is exact for a box
+        num = sum(st * et for st, et in zip(s, es))
+        den = sum(et * et for et in es)
+        return jnp.clip(num / jnp.maximum(den, 1e-30), lo_k, hi_k)
+
     def body(carry):
-        k, t2, f, lam, convf, nit, it, e = carry
+        k, t2, f, lam, convf, scnt, nit, it, e = carry
         conv = convf > 0.5  # carried as f32: Mosaic can't yield i1 vectors
+        # VARPRO (variable projection): k enters the model linearly, so it
+        # rides at its conditional optimum k*(t2) and the damped Newton
+        # iteration is 1-D in t2 over the reduced objective
+        # F(t2) = SSE(k*(t2), t2). The full 2x2 iteration crawled for the
+        # whole budget on steep-decay voxels (signal only in the first
+        # echo): their SSE has a curved ridge k*exp(-te0/t2) ~ s0 along
+        # which f keeps improving until k reaches its bound, and those
+        # voxels are scattered uniformly so EVERY (BR,128) block burned
+        # its full budget (measured: time linear in max_iters, 97.6 ms at
+        # 256^3x60). The reduced 1-D objective has no such ridge — t2
+        # slides monotonically to its bound and the KKT test retires the
+        # voxel in a handful of iterations (measured: 71 ms at 256^3,
+        # converged 0.9924 -> 1.0000, max rel T2 err vs curve_fit 3.6e-4,
+        # within the 1e-3 gate).
         # e = [exp(-te/t2)] at the CURRENT iterate (carried; no exp here).
-        # Carrying e, not m = k*e, keeps the derivatives well-defined when a
-        # step clips k to exactly 0 (m/k would freeze the voxel forever).
         m = [k * et for et in e]
         r = [st - mt for st, mt in zip(s, m)]
         # ONE reciprocal for all the 1/t2 powers: Mosaic divides lower to
@@ -169,39 +211,34 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
         u = [t * inv_t2sq for t in te]                # d(-te/t2)/dt2
         dm_t = [mt * ut for mt, ut in zip(m, u)]      # dm/dt2
 
-        g_k = -2.0 * inv_t * sum(rt * et for rt, et in zip(r, e))
+        # with k at (or projected toward) its conditional optimum, the
+        # reduced derivative dF/dt2 equals the partial at fixed k
+        # (envelope theorem when k is interior; exact for pinned k too).
+        # The reduced CURVATURE is the Schur complement h_tt - h_kt^2/h_kk
+        # (of the Gauss-Newton 2x2, so it stays PSD): using plain h_tt
+        # overestimates it and the short steps turn everyone into a
+        # crawler (measured conv 0.90 / mean 10 iters vs 0.997 / 3.1).
         g_t = -2.0 * inv_t * sum(rt * dt for rt, dt in zip(r, dm_t))
+        h_tt = 2.0 * inv_t * sum(dt * dt for dt in dm_t)
         h_kk = 2.0 * inv_t * sum(et * et for et in e)
-        h_kt = 2.0 * inv_t * sum(et * ut * (mt - rt)
-                                 for et, ut, mt, rt in zip(e, u, m, r))
-        d2m_tt = [dt * ut - 2.0 * mt * ut * inv_t2
-                  for dt, ut, mt in zip(dm_t, u, m)]
-        h_tt = 2.0 * inv_t * sum(dt * dt - rt * d2
-                                 for dt, rt, d2 in zip(dm_t, r, d2m_tt))
+        h_kt = 2.0 * inv_t * sum(et * ut * mt for et, ut, mt in zip(e, u, m))
+        free_k = (k > lo_k + tol_k) & (k < hi_k - tol_k)
+        h_red = h_tt - jnp.where(
+            free_k, h_kt * h_kt / jnp.maximum(h_kk, 1e-30), 0.0)
+        h_tt = jnp.maximum(h_red, 0.0)                # fp noise can dip below 0
 
         # KKT active set: pinned at a bound with outward gradient
-        free_k = ~(((k <= lo_k + tol_k) & (g_k > 0)) | ((k >= hi_k - tol_k) & (g_k < 0)))
         free_t = ~(((t2 <= lo_t2 + tol_t) & (g_t > 0)) | ((t2 >= hi_t2 - tol_t) & (g_t < 0)))
-        fk = free_k.astype(f.dtype)
         ft = free_t.astype(f.dtype)
 
-        # reduced + Marquardt-damped 2x2 system
-        a11 = h_kk * fk + (1.0 - fk)
+        # reduced + Marquardt-damped 1-D step
         a22 = h_tt * ft + (1.0 - ft)
-        a12 = h_kt * fk * ft
-        a11 = a11 + lam * jnp.maximum(jnp.abs(a11), 1e-12)
         a22 = a22 + lam * jnp.maximum(jnp.abs(a22), 1e-12)
-        b1 = g_k * fk
-        b2 = g_t * ft
-        det = a11 * a22 - a12 * a12
-        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-        inv_det = 1.0 / det
-        p_k = -(a22 * b1 - a12 * b2) * inv_det * fk
-        p_t = -(a11 * b2 - a12 * b1) * inv_det * ft
+        p_t = -(g_t * ft) / a22
 
-        k_new = jnp.clip(k + p_k, lo_k, hi_k)
         t2_new = jnp.clip(t2 + p_t, lo_t2, hi_t2)
         e_new = exps_at(t2_new)                       # the T exps of this iter
+        k_new = kstar(e_new)
         f_new = sse(k_new, e_new)
 
         accept = f_new <= f
@@ -210,6 +247,7 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
         step_sq = jnp.square(k_new - k) + jnp.square(t2_new - t2)
         conv_x = step_sq <= _XTOL_REL * _XTOL_REL * (1.0 + jnp.square(k) + jnp.square(t2))
         if gtol > 0:
+            g_k = -2.0 * inv_t * sum(rt * et for rt, et in zip(r, e))
             pg_k = jnp.where(k <= lo_k + tol_k, jnp.minimum(g_k, 0.0),
                              jnp.where(k >= hi_k - tol_k, jnp.maximum(g_k, 0.0), g_k))
             pg_t = jnp.where(t2 <= lo_t2 + tol_t, jnp.minimum(g_t, 0.0),
@@ -218,6 +256,23 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
         else:
             conv_g = jnp.zeros_like(accept)
         newly = (conv_f | conv_x | conv_g | (lam >= _LAM_STALL)) & ~conv
+        if stall_iters > 0:
+            # scipy-ftol-style stop: L-BFGS-B declares success on ONE slow
+            # improvement with no damping guard; conv_f above additionally
+            # demands lam <= 1, which noise-ridge voxels never reach — they
+            # crawl (accepted steps improving f by < stall_tol relative)
+            # for the whole budget and, being scattered uniformly, force
+            # EVERY (BR,128) block to burn all its iterations. Instead,
+            # ``stall_iters`` consecutive accepted-but-slow steps (rejected
+            # trials are neutral: lam escalation handles reject loops via
+            # _LAM_STALL) declare convergence at the reference's production
+            # tolerance. Robustness against damped-crawl false positives
+            # comes from requiring several ACCEPTED slow steps in a row.
+            slow_acc = accept & (rel_red <= stall_tol) & ~conv
+            real_prog = accept & (rel_red > stall_tol)
+            scnt = jnp.where(conv | real_prog, 0.0,
+                             jnp.where(slow_acc, scnt + 1.0, scnt))
+            newly = newly | ((scnt >= float(stall_iters)) & ~conv)
 
         upd = accept & ~conv
         k = jnp.where(upd, k_new, k)
@@ -228,10 +283,10 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
         lam = jnp.where(conv, lam, jnp.clip(lam_new, _LAM_MIN, _LAM_MAX))
         nit = nit + upd.astype(jnp.float32)
         convf = jnp.maximum(convf, newly.astype(jnp.float32))
-        return (k, t2, f, lam, convf, nit, it + 1, e)
+        return (k, t2, f, lam, convf, scnt, nit, it + 1, e)
 
     def cond(carry):
-        it, convf = carry[6], carry[4]
+        it, convf = carry[7], carry[4]
         if full_budget:
             return it < max_iters
         return (it < max_iters) & (jnp.min(convf) < 0.5)
@@ -241,9 +296,10 @@ def _gauss_kernel_body(te: Tuple[float, ...], lo: Tuple[float, float],
               jnp.full(shape, _LAM0, jnp.float32),
               jnp.zeros(shape, jnp.float32),
               jnp.zeros(shape, jnp.float32),
+              jnp.zeros(shape, jnp.float32),
               jnp.asarray(0, jnp.int32),
               e0)
-    k, t2, f, _, convf, nit, _, _ = lax.while_loop(cond, body, carry0)
+    k, t2, f, _, convf, _, nit, _, _ = lax.while_loop(cond, body, carry0)
 
     params_ref[0] = k
     params_ref[1] = t2
@@ -282,12 +338,18 @@ def _masked_solve3(h, g, fm, lam):
     return p0, p1, p2
 
 
-def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
+def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0,
+             stall_iters=3, stall_tol=None):
     """Bounded damped-Newton loop for one start; x0 = (k, t2, sg) tiles.
 
     The per-echo exponentials at the current iterate ride the carry, so the
     gradient/Hessian pass is exp-free (one exp per TE per iteration total —
-    the candidate evaluation)."""
+    the candidate evaluation). stall_iters adds the same scipy-ftol-style
+    slow-progress stop as the gaussian body (see _gauss_kernel_body):
+    without it, uniformly-scattered ridge crawlers force every (BR,128)
+    block to its full budget."""
+    if stall_tol is None:
+        stall_tol = max(ftol, 1e-6)
     fgh_fn = FGH[model]
     val_e = VALUE_E[model]
     x0 = tuple(jnp.clip(xi, l, h) for xi, l, h in zip(x0, lo, hi))
@@ -296,7 +358,7 @@ def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
     tol_b = tuple(1e-8 * max(h - l, 1.0) for l, h in zip(lo, hi))
 
     def body(carry):
-        x, f, lam, convf, nit, it, e_cur = carry
+        x, f, lam, convf, scnt, nit, it, e_cur = carry
         conv = convf > 0.5
         _, g, h = fgh_fn(x, s, te, e_cur)
         free = [~(((x[i] <= lo[i] + tol_b[i]) & (g[i] > 0))
@@ -322,6 +384,12 @@ def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
         else:
             conv_g = jnp.zeros_like(accept)
         newly = (conv_f | conv_x | conv_g | (lam >= _LAM_STALL)) & ~conv
+        if stall_iters > 0:
+            slow_acc = accept & (rel_red <= stall_tol) & ~conv
+            real_prog = accept & (rel_red > stall_tol)
+            scnt = jnp.where(conv | real_prog, 0.0,
+                             jnp.where(slow_acc, scnt + 1.0, scnt))
+            newly = newly | ((scnt >= float(stall_iters)) & ~conv)
 
         upd = accept & ~conv
         x = tuple(jnp.where(upd, xn, xo) for xn, xo in zip(x_new, x))
@@ -331,15 +399,16 @@ def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0):
         lam = jnp.where(conv, lam, jnp.clip(lam_new, _LAM_MIN, _LAM_MAX))
         nit = nit + upd.astype(jnp.float32)
         convf = jnp.maximum(convf, newly.astype(jnp.float32))
-        return (x, f, lam, convf, nit, it + 1, e_cur)
+        return (x, f, lam, convf, scnt, nit, it + 1, e_cur)
 
     def cond(carry):
-        return (carry[5] < max_iters) & (jnp.min(carry[3]) < 0.5)
+        return (carry[6] < max_iters) & (jnp.min(carry[3]) < 0.5)
 
     carry0 = (x0, f0, jnp.full(shape, _LAM0, jnp.float32),
               jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+              jnp.zeros(shape, jnp.float32),
               jnp.asarray(0, jnp.int32), e0)
-    x, f, _, convf, nit, _, _ = lax.while_loop(cond, body, carry0)
+    x, f, _, convf, _, nit, _, _ = lax.while_loop(cond, body, carry0)
     return x, f, convf, nit
 
 
@@ -534,15 +603,18 @@ def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
 @functools.partial(jax.jit,
                    static_argnames=("te", "lo", "hi", "max_iters", "ftol",
                                     "gtol", "no_prior", "interpret",
-                                    "full_budget"))
+                                    "full_budget", "stall_iters",
+                                    "stall_tol"))
 def _gauss_fit_tiles(sig_tiles, *, te, lo, hi, max_iters, ftol, gtol=0.0,
-                     no_prior=False, interpret=False, full_budget=False):
+                     no_prior=False, interpret=False, full_budget=False,
+                     stall_iters=3, stall_tol=1e-6):
     """Run the fused kernel over (T, R, 128) tiles -> ((2,R,128), (3,R,128))."""
     T, R, _ = sig_tiles.shape
     br = _block_rows(R)
     grid = (pl.cdiv(R, br),)
     kernel = functools.partial(_gauss_kernel_body, te, lo, hi, max_iters, ftol,
-                               gtol, no_prior, full_budget)
+                               gtol, no_prior, full_budget, stall_iters,
+                               stall_tol)
     params, stats = pl.pallas_call(
         kernel,
         grid=grid,
@@ -603,6 +675,33 @@ def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
                        interpret=interpret)
 
 
+def resolve_tail_block(tail_block, model: str = "gaussian") -> int:
+    """None -> per-model default compaction granularity.
+
+    gaussian: 8 (its post-phase-1 straggler density is low enough that
+    block dilution stays small, and 8-voxel rows cut partition keys,
+    gather rows and scatter rows 8x). 3-param models: 1 (voxel-granular —
+    their phase-1 tail is ~1.3%% of voxels, so 8-voxel blocks dilute to
+    ~10%% of the volume and the full-budget refit of the diluted buffer
+    costs more than the finer-grained merge saves; measured 379 ms vs
+    ~260 ms at 256^3 for gaussian_rician)."""
+    if tail_block is None:
+        return 8 if model == "gaussian" else 1
+    return int(tail_block)
+
+
+def resolve_tail_frac(tail_frac, tail_block: int) -> float:
+    """None -> per-granularity default straggler-buffer capacity.
+
+    The capacity unit is a ``tail_block``-voxel block, and p%% straggler
+    voxels scattered uniformly touch up to ~p*tail_block%% of blocks
+    (dilution) — so the block-granular default must budget several times
+    the voxel-granular one."""
+    if tail_frac is None:
+        return 0.0625 if tail_block == 1 else 0.25
+    return float(tail_frac)
+
+
 def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
                      model: str = "gaussian") -> str:
     """'auto' -> 'single' | 'twophase'.
@@ -631,10 +730,11 @@ def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
-    "gtol", "tail_frac", "no_prior", "tail_rounds", "interpret", "strategy"))
+    "gtol", "tail_frac", "no_prior", "tail_rounds", "interpret", "strategy",
+    "tail_block"))
 def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
                     max_iters, ftol, gtol, tail_frac, no_prior, interpret,
-                    tail_rounds=2, strategy="twophase"):
+                    tail_rounds=2, strategy="twophase", tail_block=8):
     n = signal.shape[0]
     tiles, n_pad = _to_tiles(signal, n)
 
@@ -654,78 +754,121 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
                          n_iter=st[2, :n].astype(jnp.int32),
                          n_overflow=jnp.asarray(0, jnp.int32))
 
-    # strategy == "twophase": short lock-step pass, then compact stragglers.
+    # strategy == "twophase": short lock-step pass, then compact straggler
+    # BLOCKS of ``tail_block`` consecutive voxels. Compaction granularity is
+    # the whole trade: voxel-granular compaction (round 2) paid a ~36 ms
+    # argsort over N keys plus ~75 ms of row-serialized merge scatters at
+    # 256^3; block granularity divides the sort keys, the gather rows and
+    # the scatter rows all by ``tail_block``, at the price of refitting the
+    # converged neighbors of each straggler — they restart from the same
+    # deterministic init, re-tread identical Newton steps and converge to
+    # bit-identical parameters, so the merge result is unchanged.
     params1, stats1 = _run_tiles(
         tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
         max_iters=phase1_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
         interpret=interpret)
 
-    x1 = _from_tiles(params1, n)                       # (N, P)
-    # stats stay in tile-flat layout: reshape is free (tile order == voxel
-    # order up to the T-axis transpose, which stats don't have)
-    st1 = stats1.reshape(3, -1)
-    fun1_v, conv1_v, nit1_v = st1[0, :n], st1[1, :n], st1[2, :n]
-    conv1 = conv1_v > 0.5
+    # tile-flat layout IS voxel order for per-voxel planes (the T-axis
+    # transpose in _to_tiles doesn't touch the voxel axis): no _from_tiles
+    # transpose needed before the packed merge below.
+    p_dim = params1.shape[0]
+    bc = tail_block
+    n_blk_pad = -(-n // bc) * bc                       # <= n_pad: bc | 128
+    nbk = n_blk_pad // bc
+    x1f = params1.reshape(p_dim, -1)[:, :n_blk_pad]
+    st1 = stats1.reshape(3, -1)[:, :n_blk_pad]
+    # The per-voxel state rides the rounds loop as P+3 PLANAR (n_blk_pad,)
+    # f32 columns [x0..x_{P-1}, fun, conv, n_iter] plus a per-BLOCK
+    # handled flag (nbk,). Planar columns keep the voxel axis on the wide
+    # minor dimension; a packed (nbk, bc*(P+4)) state was measured 3x
+    # slower end-to-end (its narrow minor dim lane-pads every relayout,
+    # and building it costs a 44 ms (nch, N) -> (N, nch) transpose).
+    planes0 = tuple(x1f[i] for i in range(p_dim)) + tuple(
+        st1[i] for i in range(3))
+    # tile-pad voxels (>= n) carry filler fits that may be unconverged:
+    # mark them handled so the last partial block can't soak up capacity
+    handled_v = jnp.where(jnp.arange(n_blk_pad) >= n, 1.0, st1[1])
+    hblk0 = (handled_v if bc == 1
+             else jnp.min(handled_v.reshape(nbk, bc), axis=1))
 
-    capacity = max(_LANE, int(n_pad * tail_frac) // _LANE * _LANE)
+    quantum = 128 // gcd(bc, 128)
+    cap_b = max(quantum,
+                -(-int(nbk * tail_frac) // quantum) * quantum)  # blocks/round
+    sig_pad = signal if n_blk_pad == n else jnp.pad(
+        signal, ((0, n_blk_pad - n), (0, 0)), constant_values=1.0)
+    # bc == 1 (voxel-granular) keeps everything FLAT: a (N, 1) block view
+    # would lane-pad its minor dim 128x (measured: ResourceExhausted at
+    # 256^3 for bc <= 4, whose padded planes cost 16-64x their bytes)
+    sig_blk = sig_pad if bc == 1 else sig_pad.reshape(
+        nbk, bc * signal.shape[1])
 
     # Straggler escalation: up to ``tail_rounds`` compaction+refit rounds,
-    # each handling one capacity-sized buffer of the not-yet-refit
-    # unconverged voxels (the partition is stable, so round r covers
-    # unhandled ranks [0, capacity) of what remains). A lax.while_loop keeps
-    # ONE refit-kernel instance in the HLO (the 3-param Mosaic kernels take
-    # minutes of remote compile each) and exits as soon as nothing is left —
-    # on clean clinical data phase 1 converges everything and no refit
-    # kernel ever launches. Voxels still unhandled after the last round keep
-    # phase-1 results and are COUNTED in n_overflow instead of being
-    # silently dropped.
-    # The per-voxel state rides the loop as P+4 SEPARATE (N,) f32 columns
-    # [x0..x_{P-1}, fun, conv, n_iter, handled]: TPU scatters serialize over
-    # update ROWS either way, but a packed (N, P+4) array lane-pads its
-    # narrow minor dim, so P+4 1-D column scatters beat the single packed
-    # row scatter (measured 75 vs 122 ms merging 1.05M rows into 16.7M).
-    p_dim = x1.shape[1]
-    cols0 = tuple(x1[:, j] for j in range(p_dim)) + (
-        fun1_v, conv1_v, nit1_v, conv1_v)              # handled starts = conv
-
+    # each handling one capacity-sized buffer of blocks containing
+    # not-yet-refit unconverged voxels (the partition is stable, so round r
+    # covers unhandled ranks [0, cap_b) of what remains). A lax.while_loop
+    # keeps ONE refit-kernel instance in the HLO (the 3-param Mosaic
+    # kernels take minutes of remote compile each) and exits as soon as
+    # nothing is left — on clean clinical data phase 1 converges everything
+    # and no refit kernel ever launches. Voxels still unhandled after the
+    # last round keep phase-1 results and are COUNTED in n_overflow instead
+    # of being silently dropped.
     def refit_cond(state):
-        r, cols = state
-        return (r < tail_rounds) & jnp.any(cols[p_dim + 3] < 0.5)
+        r, hblk, planes = state
+        return (r < tail_rounds) & jnp.any(hblk < 0.5)
 
     def refit_round(state):
-        # Re-fit one capacity-sized buffer of unhandled voxels with the full
-        # budget. Re-running init on the gathered raw signal is free (one
-        # fused pass) and keeps the kernel single-entry; a tail voxel
-        # restarts from the same x0 and re-treads phase 1's steps
-        # deterministically before going further. no_prior per-voxel bounds
-        # travel with the gathered signal rows.
-        r, cols = state
-        handled = cols[p_dim + 3] > 0.5
-        tail_idx, n_tail = _tail_partition(handled, capacity)
-        sig_tail = signal[tail_idx]
-        tiles2, _ = _to_tiles(sig_tail, capacity)
+        # Re-fit one buffer of straggler blocks with the full budget.
+        # Re-running init on the gathered raw signal keeps the kernel
+        # single-entry; no_prior per-voxel bounds travel with the gathered
+        # signal rows. Gather rows and merge-scatter rows are BLOCKS
+        # (``bc`` consecutive voxels), so their serialized row count is
+        # n_straggler_blocks, not voxels (TPU gathers/scatters serialize
+        # over rows); converged neighbors of a straggler refit to
+        # bit-identical values (same deterministic init + steps).
+        r, hblk, planes = state
+        bidx, n_tail_b = _tail_partition(hblk > 0.5, cap_b)
+        sig_tail = sig_blk[bidx].reshape(cap_b * bc, -1)
+        tiles2, _ = _to_tiles(sig_tail, cap_b * bc)
         params2, stats2 = _run_tiles(
             tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
             max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
             interpret=interpret)
-        x2 = _from_tiles(params2, capacity)            # (capacity, P)
-        st2 = stats2.reshape(3, -1)[:, :capacity]
-        # a refit voxel got the full budget whether or not it converged:
-        # it never enters another round (handled column -> 1)
-        upd = tuple(x2[:, j] for j in range(p_dim)) + (
-            st2[0], st2[1], st2[2], jnp.ones((capacity,), jnp.float32))
-        valid = jnp.arange(capacity) < n_tail
-        safe_idx = jnp.where(valid, tail_idx, n)       # n = out of range -> drop
-        cols = tuple(c.at[safe_idx].set(u, mode="drop")
-                     for c, u in zip(cols, upd))
-        return r + 1, cols
+        m = cap_b * bc
+        x2 = params2.reshape(p_dim, -1)[:, :m]
+        st2 = stats2.reshape(3, -1)[:, :m]
+        upds = tuple(x2[i] for i in range(p_dim)) + tuple(
+            st2[i] for i in range(3))
+        valid = jnp.arange(cap_b) < n_tail_b
+        safe_idx = jnp.where(valid, bidx, nbk)         # nbk = out of range -> drop
+        if bc == 1:
+            planes = tuple(pln.at[safe_idx].set(u, mode="drop")
+                           for pln, u in zip(planes, upds))
+        else:
+            planes = tuple(
+                pln.reshape(nbk, bc).at[safe_idx].set(
+                    u.reshape(cap_b, bc), mode="drop").reshape(n_blk_pad)
+                for pln, u in zip(planes, upds))
+        # a refit block got the full budget whether or not every voxel
+        # converged: it never enters another round
+        hblk = hblk.at[safe_idx].set(1.0, mode="drop")
+        return r + 1, hblk, planes
 
-    _, cols = lax.while_loop(
-        refit_cond, refit_round, (jnp.asarray(0, jnp.int32), cols0))
-    n_overflow = jnp.sum(cols[p_dim + 3] < 0.5).astype(jnp.int32)
-    return FitResult(x=jnp.stack(cols[:p_dim], axis=1), fun=cols[p_dim],
-                     converged=cols[p_dim + 1] > 0.5,
-                     n_iter=cols[p_dim + 2].astype(jnp.int32),
+    _, hblk, planes = lax.while_loop(
+        refit_cond, refit_round,
+        (jnp.asarray(0, jnp.int32), hblk0, planes0))
+    # overflow = unconverged voxels in blocks no round could cover (a
+    # handled block's voxels all got the full budget; converged voxels of
+    # unhandled blocks need no refit)
+    handled_vox = jnp.broadcast_to(
+        (hblk > 0.5)[:, None], (nbk, bc)).reshape(n_blk_pad)
+    in_range = jnp.arange(n_blk_pad) < n
+    n_overflow = jnp.sum(
+        ((~handled_vox) & (planes[p_dim + 1] < 0.5) & in_range)
+        .astype(jnp.int32))
+    return FitResult(x=jnp.stack(planes[:p_dim], axis=1)[:n],
+                     fun=planes[p_dim][:n],
+                     converged=planes[p_dim + 1][:n] > 0.5,
+                     n_iter=planes[p_dim + 2][:n].astype(jnp.int32),
                      n_overflow=n_overflow)
 
 
@@ -756,9 +899,9 @@ def validate_fused_args(model, te, lo, hi, guess, no_prior):
 def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               guess: Sequence[float] | None = None,
               phase1_iters: int = 10, max_iters: int = 60, ftol: float = 1e-9,
-              gtol: float = 0.0, tail_frac: float = 0.0625,
+              gtol: float = 0.0, tail_frac: float | None = None,
               tail_rounds: int = 2, no_prior: bool = False,
-              interpret: bool | None = None,
+              interpret: bool | None = None, tail_block: int | None = None,
               strategy: str = "auto", sync: bool = True) -> FitResult:
     """Fused-kernel fit of every voxel in the batch.
 
@@ -776,11 +919,23 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
         phase1_iters: lock-step budget for the full batch (twophase only).
         max_iters: total per-voxel iteration budget.
         gtol: projected-gradient stopping threshold (0 = disabled).
-        tail_frac: tail buffer capacity as a fraction of N (twophase only).
+        tail_frac: straggler-buffer capacity per refit round as a fraction
+            of the batch's ``tail_block``-blocks (twophase only; None =
+            per-granularity default, see resolve_tail_frac). Budget for
+            straggler DILUTION: p% unconverged voxels scattered uniformly
+            touch up to ~p*tail_block% of blocks.
         tail_rounds: max straggler compaction+refit rounds (each covers one
             capacity-sized buffer); unconverged voxels beyond all rounds
             keep phase-1 results and are counted in ``FitResult.n_overflow``
             (twophase only).
+        tail_block: straggler-compaction granularity in consecutive voxels
+            (twophase only; must divide 128; None = per-model default, see
+            resolve_tail_block). The partition sort keys, the gather rows
+            and the merge-scatter rows all shrink by this factor (TPU
+            gathers/scatters serialize over rows); the cost is refitting
+            the whole block around each straggler, which is cheap because
+            refit blocks restart deterministically and converged neighbors
+            re-tread identical Newton steps.
         strategy: 'single' runs one full-budget kernel with per-block VMEM
             early exit (no compaction traffic; n_overflow always 0);
             'twophase' runs the short lock-step pass + straggler
@@ -804,6 +959,10 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
     """
     te_t, lo_t, hi_t, guess_t = validate_fused_args(model, te, lo, hi, guess,
                                                     no_prior)
+    tail_block = resolve_tail_block(tail_block, model)
+    tail_frac = resolve_tail_frac(tail_frac, tail_block)
+    if tail_block < 1 or 128 % tail_block:
+        raise ValueError(f"tail_block must divide 128; got {tail_block}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     signal = jnp.asarray(signal, jnp.float32)
@@ -811,7 +970,7 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
         signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
-        interpret=bool(interpret),
+        interpret=bool(interpret), tail_block=int(tail_block),
         strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))
     # Drain the pipeline with a scalar host read before returning: on a
     # tunneled chip, transferring from a still-in-flight pallas result can

@@ -54,10 +54,10 @@ class VolumeFitResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
     "gtol", "tail_frac", "no_prior", "mask_frac", "interpret", "strategy",
-    "block"))
+    "block", "tail_block"))
 def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
                      max_iters, ftol, gtol, tail_frac, no_prior, mask_frac,
-                     interpret, strategy="single", block=32):
+                     interpret, strategy="single", block=32, tail_block=8):
     zyx = signal.shape[:3]
     n = zyx[0] * zyx[1] * zyx[2]
     t_axis = signal.shape[3]
@@ -96,7 +96,7 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
         batch, model=model, te=te, lo=lo, hi=hi, guess=guess,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, interpret=interpret,
-        strategy=strategy)
+        strategy=strategy, tail_block=tail_block)
 
     valid_blk = jnp.arange(blk_cap) < nb_sel
     safe_bidx = jnp.where(valid_blk, bidx, nb)             # nb -> dropped
@@ -177,7 +177,7 @@ def _min_mask_frac(n: int, n_blocks: int, block: int) -> float:
 def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
                guess: Sequence[float] | None = None, phase1_iters: int = 10,
                max_iters: int = 60, ftol: float = 1e-9, gtol: float = 0.0,
-               tail_frac: float = 0.0625, no_prior: bool = False,
+               tail_frac: float | None = None, no_prior: bool = False,
                mask_frac: float = 0.25, block: int = 32,
                interpret: bool | None = None,
                strategy: str = "auto",
@@ -239,11 +239,14 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
                 f"blocks: masked voxels in {n_blocks - blk_cap} blocks will "
                 f"be left unfitted (n_overflow); raise mask_frac to "
                 f">= {_min_mask_frac(n, n_blocks, block):.6f}", stacklevel=2)
-    from .pallas_fit import resolve_strategy
+    from .pallas_fit import (resolve_strategy, resolve_tail_block,
+                             resolve_tail_frac)
 
+    tail_block = resolve_tail_block(None, model)
     return _fit_volume_impl(
         signal, mask, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
-        tail_frac=tail_frac, no_prior=no_prior, mask_frac=float(mask_frac),
-        interpret=bool(interpret), block=int(block),
+        tail_frac=resolve_tail_frac(tail_frac, tail_block),
+        no_prior=no_prior, mask_frac=float(mask_frac),
+        interpret=bool(interpret), block=int(block), tail_block=tail_block,
         strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))

@@ -69,9 +69,9 @@ def fit_batch_sharded(signal, te, x0, lo, hi, mesh: Mesh, **fit_kwargs):
 def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian",
                       guess=None, phase1_iters: int = 10, max_iters: int = 60,
                       ftol: float = 1e-9, gtol: float = 0.0,
-                      tail_frac: float = 0.0625, tail_rounds: int = 2,
+                      tail_frac: float | None = None, tail_rounds: int = 2,
                       no_prior: bool = False, interpret=None,
-                      strategy: str = "auto"):
+                      tail_block: int | None = None, strategy: str = "auto"):
     """Multi-chip fused-kernel fit: shard_map of the whole fused pipeline.
 
     The fit is voxel-elementwise and everything data-dependent (per-block
@@ -85,7 +85,8 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
     import functools
 
     from ..models.pallas_fit import (
-        _fit_fused_impl, resolve_strategy, validate_fused_args)
+        _fit_fused_impl, resolve_strategy, resolve_tail_block,
+        resolve_tail_frac, validate_fused_args)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -94,12 +95,14 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
         raise ValueError(f"voxel count {n} not divisible by mesh size {mesh.devices.size}")
     te_t, lo_t, hi_t, guess_t = validate_fused_args(model, te, lo, hi, guess,
                                                     no_prior)
+    tail_block = resolve_tail_block(tail_block, model)
     impl = functools.partial(
         _fit_fused_impl, model=model, te=te_t,
         lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
-        tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
-        interpret=bool(interpret),
+        tail_frac=resolve_tail_frac(tail_frac, tail_block),
+        no_prior=no_prior, tail_rounds=int(tail_rounds),
+        interpret=bool(interpret), tail_block=tail_block,
         strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))
 
     from ..models.solver import FitResult
