@@ -574,70 +574,104 @@ def run_pipeline_e2e():
                            for i in reversed(slabs)])
             return fr, (n - 2.5, 0.0, float(n - 1)), (0, 1, 0, 0, 0, -1)
 
+        # TWO identically-shaped sessions (independent noise): session 1
+        # is the cold fleet-start (pays per-process compile-cache loads and
+        # tunnel dispatch warmup), session 2 is the steady-state marginal a
+        # fleet pays per session — the apples-to-apples number against the
+        # reference's per-session "~2-3 min" anchor.
         with profiler.stage("e2e.ingest"):
-            sess = os.path.join(root, "dicom", "2024080610", "30540000")
-            os.makedirs(sess)
-            sid = 0
-            for otype in ("ax", "cor", "sag"):
-                for te in tes:
-                    sid += 1
-                    sig = pd_true * np.exp(-te / np.maximum(t2_true, 1.0))
-                    sig = np.maximum(sig + rng.normal(0, 4.0, sig.shape), 0.0)
-                    frames, ipp, iop = acquisition(sig, otype)
-                    write_test_dicom_multiframe(
-                        os.path.join(sess, f"s{sid}.dcm"),
-                        frames.astype(np.uint16), ipp=ipp, iop=iop, dz=4.0,
-                        te=float(te), spacing=(1.0, 1.0),
-                        series_uid=f"1.2.840.99.{sid}")
             logs = os.path.join(root, "dicom", "logs")
             os.makedirs(logs)
-            pd.DataFrame([{"date": "2024080610", "dcm_parent": "30540000",
-                           "prj": "prj-004", "sub": "sub-001",
-                           "ses": "ses-01"}]).to_csv(
+            log_rows = []
+            for s_i, ses_name in enumerate(("ses-01", "ses-02")):
+                parent = f"3054000{s_i}"
+                sess = os.path.join(root, "dicom", "2024080610", parent)
+                os.makedirs(sess)
+                sid = 0
+                for otype in ("ax", "cor", "sag"):
+                    for te in tes:
+                        sid += 1
+                        sig = pd_true * np.exp(-te / np.maximum(t2_true, 1.0))
+                        sig = np.maximum(sig + rng.normal(0, 4.0, sig.shape), 0.0)
+                        frames, ipp, iop = acquisition(sig, otype)
+                        write_test_dicom_multiframe(
+                            os.path.join(sess, f"s{sid}.dcm"),
+                            frames.astype(np.uint16), ipp=ipp, iop=iop, dz=4.0,
+                            te=float(te), spacing=(1.0, 1.0),
+                            series_uid=f"1.2.840.99.{s_i}.{sid}")
+                log_rows.append({"date": "2024080610", "dcm_parent": parent,
+                                 "prj": "prj-004", "sub": "sub-001",
+                                 "ses": ses_name})
+            pd.DataFrame(log_rows).to_csv(
                 os.path.join(logs, "log_dcms.csv"), index=False)
-            rc = dcm2csv.main(["--path", sess, "--process"])
-            if rc != 0:
-                raise RuntimeError(f"ingest failed rc={rc}")
+            for s_i in range(2):
+                sess = os.path.join(root, "dicom", "2024080610", f"3054000{s_i}")
+                rc = dcm2csv.main(["--path", sess, "--process"])
+                if rc != 0:
+                    raise RuntimeError(f"ingest failed rc={rc}")
 
         # metadata written by ingest drives everything downstream
         session_csvs = [f for f in os.listdir(logs) if f != "log_dcms.csv"]
         metadata = set_metadata(logs, session_csvs, low_field=True)
         bids = os.path.join(root, "projects/")
 
-        # ---- stage 2: recon derivatives (fake synthseg; atlas needs FSL
-        # assets and self-skips)
-        process_qmri(bids, metadata, in_vivo=True, low_field=True,
-                     synthseg=SynthSegRunner(mode="fake"),
-                     registration_kwargs=dict(levels=(2, 1),
-                                              sigmas=(1.0, 0.0),
-                                              iters=(80, 40)))
+        cfg = C.fit_config("gaussian", low_field=True)
 
-        # ---- stage 3: voxel fit -> maps + ROI/convergence artifacts
-        with profiler.stage("e2e.fit"):
-            cfg = C.fit_config("gaussian", low_field=True)
-            summaries = process_t2maps(metadata, bids, tes, cfg,
-                                       low_field=True, sim="1",
-                                       make_plots=True)
-        total = time.perf_counter() - t_start
-        if not summaries or summaries[0]["n_voxels"] == 0:
+        def run_session(md):
+            # stage 2: recon derivatives (fake synthseg; atlas needs FSL
+            # assets and self-skips), then stage 3: voxel fit -> maps +
+            # ROI/convergence artifacts
+            process_qmri(bids, md, in_vivo=True, low_field=True,
+                         synthseg=SynthSegRunner(mode="fake"),
+                         registration_kwargs=dict(levels=(2, 1),
+                                                  sigmas=(1.0, 0.0),
+                                                  iters=(80, 40)))
+            with profiler.stage("e2e.fit"):
+                return process_t2maps(md, bids, tes, cfg, low_field=True,
+                                      sim="1", make_plots=True)
+
+        summaries = run_session(metadata[metadata["ses"] == "ses-01"])
+        cum1 = {name: st["seconds"] for name, st in profiler.as_dict().items()}
+        t_warm = time.perf_counter()
+        summaries += run_session(metadata[metadata["ses"] == "ses-02"])
+        t_end = time.perf_counter()
+        total, marginal = t_end - t_start, t_end - t_warm
+        stages_marginal = {
+            name: round(st["seconds"] - cum1.get(name, 0.0), 3)
+            for name, st in profiler.as_dict().items()
+            if st["seconds"] - cum1.get(name, 0.0) > 0.0005}
+        if len(summaries) != 2 or any(s["n_voxels"] == 0 for s in summaries):
             raise RuntimeError("pipeline produced no fitted voxels")
-        conv = float(summaries[0]["converged_frac"])
+        conv = min(float(s["converged_frac"]) for s in summaries)
         stages = {name: round(st["seconds"], 3)
                   for name, st in profiler.as_dict().items()}
-        print(f"# e2e pipeline (64^3 session, 3 orient x 3 TE): "
-              f"{total:.1f} s total; stages {stages}; fit converged "
-              f"{conv:.3f}", file=sys.stderr)
+        print(f"# e2e pipeline (64^3 sessions, 3 orient x 3 TE): "
+              f"{total:.1f} s for 2 sessions (cold start incl. ingest of "
+              f"both); steady-state marginal {marginal:.1f} s/session; "
+              f"stages {stages}; fit converged {conv:.3f}", file=sys.stderr)
         print(json.dumps({
             "metric": "pipeline_e2e_seconds",
             "value": round(total, 1),
-            "unit": "s (synthetic 3-orientation x 3-TE in-vivo session, "
-                    "64^3: DICOM ingest -> resample -> register/fuse -> "
-                    "segment(fake) -> masks/BET/FeTA -> fit -> maps+ROI; "
-                    "reference anchor: ~150 s for the fit stage alone, "
-                    "run_t2mapping.py:440)",
-            "vs_baseline": round(150.0 / total, 2),
+            "unit": "s COLD for 2 synthetic 3-orientation x 3-TE in-vivo "
+                    "sessions, 64^3 (DICOM ingest -> resample -> "
+                    "register/fuse -> segment(fake) -> masks/BET/FeTA -> "
+                    "fit -> maps+ROI), incl. one-time process startup: "
+                    "compile-cache loads + tunnel dispatch warmup; "
+                    "reference anchor: ~150 s PER SESSION for the fit "
+                    "stage alone, run_t2mapping.py:440)",
+            "vs_baseline": round(2 * 150.0 / total, 2),
             "stages_s": stages,
             "fit_converged": round(conv, 4),
+        }))
+        print(json.dumps({
+            "metric": "pipeline_e2e_marginal_seconds",
+            "value": round(marginal, 1),
+            "unit": "s/session steady-state (session 2 of the same "
+                    "process: what a fleet pays per session once programs "
+                    "are loaded; reference anchor: ~150 s/session for the "
+                    "fit stage alone, run_t2mapping.py:440)",
+            "vs_baseline": round(150.0 / marginal, 2),
+            "stages_s": stages_marginal,
         }))
         sys.stdout.flush()
     finally:

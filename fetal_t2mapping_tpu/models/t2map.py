@@ -10,6 +10,7 @@ signed-mean residual maps).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, Optional
 
@@ -64,6 +65,18 @@ def _init_for(cfg: FitConfig, batch, te, lo, hi):
     return np.clip(x0, lo, hi)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _residual_mean(model: str, x, te, batch):
+    """Signed mean-over-TEs residual, on device: (N, P), (T,), (N, T) -> (N,).
+
+    Keeping this on device transfers N floats instead of the (N, T)
+    prediction (reference utils/t2map_utils.py:62-89 computes it per voxel
+    on host) and avoids a separate host->device upload of the batch."""
+    cols = tuple(x[:, i:i + 1] for i in range(x.shape[1]))
+    pred = predict_signal(model, cols, te[None, :])
+    return jnp.mean(batch - pred, axis=1)
+
+
 def fit_stack(
     stack: EchoStack,
     cfg: FitConfig,
@@ -83,6 +96,9 @@ def fit_stack(
     t0 = time.time()
     use_fused = (cfg.loglinear_init and jax.default_backend() != "cpu"
                  and (cfg.prior or cfg.model == "gaussian"))
+    # ONE host->device upload of the batch, shared by the fit and the
+    # residual program below (repeated np-array arguments would re-upload)
+    batch_dev = jnp.asarray(batch, jnp.float32)
     if not use_fused:
         # the fused path derives bounds/starts in-kernel; the (N, P) host
         # arrays (~270 MB at 256^3) are only needed by the vmapped solver
@@ -98,7 +114,7 @@ def fit_stack(
             hi_f = (NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS[1])
             np_flag = True
         result = fit_fused(
-            batch, te, lo_f, hi_f, model=cfg.model,
+            batch_dev, te, lo_f, hi_f, model=cfg.model,
             guess=cfg.initial_guess, max_iters=cfg.max_iters,
             ftol=cfg.ftol, gtol=cfg.gtol, no_prior=np_flag,
         )
@@ -111,28 +127,26 @@ def fit_stack(
         x0_grid = np.asarray(grid_init(batch, te, lo, hi))
         x0s = np.stack([np.asarray(x0), x0_grid, x0_cfg])
         result = fit_batch_multistart(
-            batch, te, x0s, lo, hi,
+            batch_dev, te, x0s, lo, hi,
             model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
         )
     else:
         result = fit_batch_twophase(
-            batch, te, x0, lo, hi,
+            batch_dev, te, x0, lo, hi,
             model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
         )
+    # signed-mean residual over TEs (reference utils/t2map_utils.py:62-89 —
+    # note the README says max, the code computes the mean; we follow the
+    # code). Computed on device from the still-resident params + batch;
+    # the gaussian residual uses the (k, T2) columns only, the 3-param
+    # models include sigma — i.e. all P fitted columns either way.
+    res_dev = _residual_mean(cfg.model, result.x, jnp.asarray(te), batch_dev)
     x = np.asarray(result.x)
     fit_seconds = time.time() - t0
 
     k_v, t2_v = x[:n, 0], x[:n, 1]
     sigma_v = x[:n, 2] if cfg.n_params == 3 else np.zeros(n, np.float32)
-
-    # signed-mean residual over TEs (reference utils/t2map_utils.py:62-89 —
-    # note the README says max, the code computes the mean; we follow the code)
-    params_cols = (k_v, t2_v) if cfg.model == "gaussian" else (k_v, t2_v, sigma_v)
-    pred = np.asarray(
-        predict_signal(cfg.model, tuple(jnp.asarray(c)[:, None] for c in params_cols),
-                       jnp.asarray(te)[None, :])
-    )
-    res_v = np.mean(batch[:n] - pred, axis=1)
+    res_v = np.asarray(res_dev[:n])
 
     # sampled per-iteration traces for convergence observability
     rng = np.random.default_rng(seed)

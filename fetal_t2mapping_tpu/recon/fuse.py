@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.volume import Volume
@@ -41,23 +42,32 @@ def fuse_orientations(
         raise ValueError(f"missing orientations: {missing}")
     kwargs = registration_kwargs or {}
 
+    # The whole fusion is HBM-resident: each volume is uploaded ONCE (the
+    # device-resident Volume flows through registration's internal
+    # jnp.asarray untouched and into the warp gather), warped volumes are
+    # accumulated on device, and only the single fused volume comes back —
+    # the host never sees the intermediate warps.
     fixed = imgs[fixed_type]
-    acc = np.asarray(fixed.data, np.float32).copy()
-    cov = np.ones_like(acc)
+    fixed_dev = fixed.with_data(jnp.asarray(fixed.data, jnp.float32))
+    acc = fixed_dev.data
+    cov = jnp.ones_like(acc)
 
     for otype in ORIENTATIONS:
         if otype == fixed_type:
             continue
-        reg: RegistrationResult = register_rigid(fixed, imgs[otype], **kwargs)
-        warped = resample_to_reference(imgs[otype], fixed, transform=reg.matrix,
-                                       method="linear", cval=np.nan)
-        w = np.asarray(warped.data, np.float32)
-        valid = np.isfinite(w)
-        acc += np.where(valid, w, 0.0)
-        cov += valid.astype(np.float32)
+        mov = imgs[otype]
+        mov_dev = mov.with_data(jnp.asarray(mov.data, jnp.float32))
+        reg: RegistrationResult = register_rigid(fixed_dev, mov_dev, **kwargs)
+        warped = resample_to_reference(mov_dev, fixed, transform=reg.matrix,
+                                       method="linear", cval=np.nan,
+                                       device=True)
+        w = warped.data
+        valid = jnp.isfinite(w)
+        acc = acc + jnp.where(valid, w, 0.0)
+        cov = cov + valid.astype(jnp.float32)
 
     if weight_by_coverage:
         fused = acc / cov
     else:
         fused = acc / float(len(ORIENTATIONS))
-    return fixed.with_data(fused.astype(np.float32))
+    return fixed.with_data(np.asarray(fused, np.float32))

@@ -78,7 +78,8 @@ def _affine_gather(data, B_T, c, cval, *, shape, method):
 
 
 def resample_to_reference(vol: Volume, ref: Volume, *, transform: Optional[np.ndarray] = None,
-                          method: str = "linear", cval: float = 0.0) -> Volume:
+                          method: str = "linear", cval: float = 0.0,
+                          device: bool = False) -> Volume:
     """Resample ``vol`` onto the grid of ``ref``.
 
     One fused affine-index gather: the target's voxel indices map straight to
@@ -89,6 +90,11 @@ def resample_to_reference(vol: Volume, ref: Volume, *, transform: Optional[np.nd
         transform: optional 4x4 world->world matrix mapping reference-space
             points into ``vol``'s space (a registration result). Identity if
             None.
+        device: return the warped data as a device array instead of
+            transferring it to host — for callers that keep computing on
+            device (e.g. fusion accumulates warped volumes in HBM and
+            transfers only the final fused volume). ``vol.data`` may
+            likewise already be a device array (the upload is skipped).
     """
     A_ref = ref.direction_matrix @ np.diag(ref.spacing)      # idx(x,y,z)->world
     T = np.eye(4) if transform is None else np.asarray(transform, np.float64)
@@ -99,7 +105,14 @@ def resample_to_reference(vol: Volume, ref: Volume, *, transform: Optional[np.nd
         jnp.asarray(vol.data), jnp.asarray(B.T, jnp.float32),
         jnp.asarray(c, jnp.float32), jnp.float32(cval),
         shape=tuple(int(s) for s in ref.shape), method=method)
-    data = np.asarray(vals, np.float32)
-    if method == "nearest":
-        data = data.astype(np.asarray(vol.data).dtype)
+    if device:
+        data = vals
+        if method == "nearest":
+            data = data.astype(np.asarray(vol.data).dtype
+                               if isinstance(vol.data, np.ndarray)
+                               else vol.data.dtype)
+    else:
+        data = np.asarray(vals, np.float32)
+        if method == "nearest":
+            data = data.astype(np.asarray(vol.data).dtype)
     return Volume(data=data, spacing=ref.spacing, origin=ref.origin, direction=ref.direction)
