@@ -57,6 +57,7 @@ def main(n_requests=4):
     make = jax.jit(make_request, static_argnums=1)
 
     times = []
+    stats = []
     for i in range(n_requests):
         sig, mask, t2 = make(jax.random.PRNGKey(i), N_SIDE)
         float(jnp.sum(mask.astype(jnp.float32)))   # request fully on device
@@ -68,14 +69,19 @@ def main(n_requests=4):
         times.append(dt)
         m = np.asarray(mask)
         rel = np.abs(np.asarray(res.t2)[m] - np.asarray(t2)[m]) / np.asarray(t2)[m]
+        stats.append({"ms": dt * 1e3, "n_masked": n_masked,
+                      "median_rel_err": float(np.median(rel)),
+                      "converged": float(np.asarray(res.converged)[m].mean()),
+                      "n_overflow": int(res.n_overflow)})
         print(f"request {i}: {dt * 1e3:7.1f} ms  ({n_masked} masked voxels, "
               f"median rel T2 err {np.median(rel):.3%}, "
-              f"converged {np.asarray(res.converged)[m].mean():.4f}, "
+              f"converged {stats[-1]['converged']:.4f}, "
               f"overflow {int(res.n_overflow)})")
 
     warm = times[1:] or times
     print(f"\nwarm latency: {np.median(warm) * 1e3:.1f} ms/request "
           f"(first request includes compile)")
+    return stats
 
 
 if __name__ == "__main__":

@@ -75,6 +75,21 @@ def test_invivo_analysis_example(tmp_path):
     assert os.path.getsize(os.path.join(str(tmp_path), "roi_t2_table.tsv")) > 500
 
 
+def test_serving_example():
+    ex = _load_example("serving")
+    stats = ex.main(2)
+    assert len(stats) == 2
+    for s in stats:
+        # ellipsoid (semi-axes 0.8/0.85/0.7 of half-side) over a 96^3
+        # FOV: 4pi/3 * 0.8*0.85*0.7 / 8 ~ 25% of voxels
+        assert 180_000 < s["n_masked"] < 260_000
+        # truth T2 in [40,400] with sigma=5 noise on k>=600 signals: the
+        # fit should be accurate and near-fully converged, nothing dropped
+        assert s["median_rel_err"] < 0.02
+        assert s["converged"] > 0.98
+        assert s["n_overflow"] == 0
+
+
 def test_invitro_phantom_example(tmp_path):
     ex = _load_example("invitro_phantom")
     roi = ex.main(str(tmp_path))
