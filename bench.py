@@ -450,7 +450,9 @@ def run_registration_bench():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        reg()
+        # RegistrationResult is device-lazy: block on the solved params so
+        # the row times the solve, not just its dispatch
+        jax.block_until_ready(reg().params_device)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     print(f"# 192^3 rigid registration (NCC, 3-level, one jitted program): "

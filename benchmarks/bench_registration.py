@@ -16,6 +16,8 @@ import numpy as np
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
     from fetal_t2mapping_tpu.core.volume import Volume
     from fetal_t2mapping_tpu.recon.registration import register_rigid
     from fetal_t2mapping_tpu.recon.resample import resample_to_reference
@@ -52,6 +54,9 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         reg = register_rigid(fixed, moving)
+        # the result is device-lazy: block on the solved params so the
+        # loop times the solve, not just its dispatch
+        jax.block_until_ready(reg.params_device)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 

@@ -81,11 +81,20 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
     plt.close(fig)
     paths.append(p)
 
-    # 3. iterations vs final loss scatter over all voxels
+    # 3. iterations vs final loss scatter. Deterministically subsampled to
+    # 20k points past that size: a s=4 scatter saturates to solid ink well
+    # below 20k, while matplotlib's draw time keeps growing linearly
+    # (seconds per figure at ~10^5+ voxels — it was the dominant cost of
+    # the whole per-session plot stage).
+    n_iter, final_fun, all_t2 = (np.asarray(n_iter), np.asarray(final_fun),
+                                 np.asarray(all_t2))
+    if n_iter.size > 20_000:
+        sel = np.random.default_rng(0).choice(n_iter.size, 20_000,
+                                              replace=False)
+        n_iter, final_fun, all_t2 = n_iter[sel], final_fun[sel], all_t2[sel]
     nrm2, cmap2 = _norm_cmap(all_t2)
     fig, ax = plt.subplots(figsize=(10, 8))
-    ax.scatter(np.asarray(n_iter), np.asarray(final_fun), c=np.asarray(all_t2),
-               cmap=cmap2, norm=nrm2, s=4)
+    ax.scatter(n_iter, final_fun, c=all_t2, cmap=cmap2, norm=nrm2, s=4)
     sm = cm.ScalarMappable(cmap=cmap2, norm=nrm2)
     sm.set_array([])
     fig.colorbar(sm, ax=ax).set_label("T2 Value")

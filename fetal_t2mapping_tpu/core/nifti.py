@@ -125,10 +125,17 @@ def _itk_to_affine_ras(vol: Volume) -> np.ndarray:
 def read(path: str) -> Volume:
     """Read a .nii or .nii.gz file into a Volume (data indexed (z,y,x)).
 
-    Decompression goes through the native IO runtime (ft2io, threaded zlib)
-    when it is available, with the pure-Python gzip path as fallback."""
+    A path this process wrote through :func:`write`/:func:`write_async`
+    returns the cached (possibly device-backed) Volume without touching
+    the filesystem — see :mod:`..core.volcache`. Otherwise decompression
+    goes through the native IO runtime (ft2io, threaded zlib) when it is
+    available, with the pure-Python gzip path as fallback."""
     from .. import native
+    from . import volcache
 
+    cached = volcache.get(path)
+    if cached is not None:
+        return cached
     raw = native.read_file(path) if native.available() else None
     if raw is None:
         with _open(path, "rb") as f:
@@ -141,13 +148,42 @@ def read_batch(paths, n_threads: int = 8):
 
     The echo-stack load (one volume per TE, reference run_t2mapping.py:
     365-381 reads them serially through SimpleITK) is the host-side hot
-    path; inflating all members concurrently hides the zlib cost."""
+    path; inflating all members concurrently hides the zlib cost. Paths
+    this process wrote are served from the volume cache."""
     from .. import native
+    from . import volcache
 
-    raws = native.read_batch(paths, n_threads) if native.available() else None
-    if raws is None:
-        return [read(p) for p in paths]
-    return [parse(raw, name=str(p)) for raw, p in zip(raws, paths)]
+    paths = list(paths)
+    out = [volcache.get(p) for p in paths]
+    misses = [(i, p) for i, p in enumerate(paths) if out[i] is None]
+    if misses:
+        mpaths = [p for _, p in misses]
+        raws = (native.read_batch(mpaths, n_threads)
+                if native.available() else None)
+        if raws is None:
+            for i, p in misses:
+                out[i] = read(p)
+        else:
+            for (i, p), raw in zip(misses, raws):
+                out[i] = parse(raw, name=str(p))
+    return out
+
+
+def exists(path) -> bool:
+    """True if ``path`` is on disk OR its write is still queued (use for
+    checkpoint skip-if-exists tests under asynchronous writes)."""
+    import os
+
+    from . import volcache
+
+    return volcache.pending(path) or os.path.exists(path)
+
+
+def flush_writes() -> None:
+    """Block until every queued :func:`write_async` has landed on disk."""
+    from . import volcache
+
+    volcache.flush()
 
 
 def parse(raw: bytes, name: str = "<bytes>") -> Volume:
@@ -218,13 +254,63 @@ def parse(raw: bytes, name: str = "<bytes>") -> Volume:
     return Volume(data=data, spacing=spacing, origin=origin, direction=direction)
 
 
+def _cast_for_disk(vol: Volume, dtype):
+    """Cast ``vol.data`` to its on-disk dtype WITHOUT forcing a device
+    download (device arrays cast lazily via ``.astype``); returns the
+    (possibly device-backed) cast array."""
+    data = vol.data
+    target = np.dtype(dtype) if dtype is not None else None
+    if target is None:
+        try:
+            target = np.dtype(data.dtype)
+        except TypeError:
+            target = np.dtype(np.float32)
+    if target not in _NP_TO_DT:
+        target = np.dtype(np.float32)
+    if not hasattr(data, "astype"):
+        data = np.asarray(data)
+    if np.dtype(data.dtype) != target:
+        data = data.astype(target)
+    return data
+
+
 def write(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> None:
-    """Write a Volume as NIfTI-1 (.nii or .nii.gz), sform+qform set."""
-    data = np.asarray(vol.data)
-    if dtype is not None:
-        data = data.astype(dtype)
-    if data.dtype not in _NP_TO_DT:
-        data = data.astype(np.float32)
+    """Write a Volume as NIfTI-1 (.nii or .nii.gz), sform+qform set.
+
+    Synchronous: blocks on the device download (if any) and the disk
+    write. The written Volume is retained in the in-process volume cache
+    so a later :func:`read` of the same path is free."""
+    from . import volcache
+
+    data = _cast_for_disk(vol, dtype)
+    volcache.put(path, vol.with_data(data))
+    _write_payload(path, np.asarray(data), vol)
+    volcache.mark_written(path)
+
+
+def write_async(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> None:
+    """Queue a NIfTI write; returns as soon as the (lazy, device-side)
+    dtype cast is dispatched.
+
+    The download + encode + gzip run on the writer pool
+    (:mod:`..core.volcache`), overlapping the tunnel/disk latency with
+    whatever the caller computes next. The Volume is immediately visible
+    to :func:`read`/:func:`read_batch` (volume cache) and
+    :func:`exists`; call :func:`flush_writes` (pipelines do, plus an
+    atexit backstop) before handing the FILE to an external consumer."""
+    from . import volcache
+
+    data = _cast_for_disk(vol, dtype)
+    geom = vol.with_data(data)
+    volcache.put(path, geom)
+    if not volcache.async_enabled():
+        _write_payload(path, np.asarray(data), vol)
+        volcache.mark_written(path)
+        return
+    volcache.submit_write(path, lambda: _write_payload(path, np.asarray(data), vol))
+
+
+def _write_payload(path: str, data: np.ndarray, vol: Volume) -> None:
     datatype = _NP_TO_DT[data.dtype]
     bitpix = data.dtype.itemsize * 8
 

@@ -1,0 +1,241 @@
+"""In-process device-volume cache and asynchronous NIfTI write queue.
+
+The pipeline's checkpoint design is filesystem-is-checkpoint (reference
+utils/dcm_utils.py:277, run stages re-runnable from the previous stage's
+NIfTIs).  Naively that makes every stage boundary a device->host->disk->
+host->device round trip: ``nifti.write`` blocks on the device download,
+and the next stage re-reads the bytes it just wrote and re-uploads them.
+Over a tunneled chip a single 1 MB download costs ~50 ms of fixed RPC
+latency, so a 9-acquisition session pays seconds of pure latency per
+stage.
+
+This module keeps the checkpoint contract while removing the round trips:
+
+- ``put``/``get``: an LRU byte-capped cache of the exact Volume handed to
+  ``nifti.write`` (device-backed when the pipeline computed it on device).
+  A subsequent ``nifti.read``/``read_batch`` of the same path returns the
+  cached Volume — the next stage chains on the device array directly and
+  XLA's async dispatch never blocks on the filesystem.  Entries validate
+  against ``os.stat`` (size + mtime_ns recorded after the write lands), so
+  external modification or deletion of the file invalidates the entry.
+- ``submit_write``/``flush``: a small thread pool that performs the
+  device download + gzip + write off the critical path.  Same-path writes
+  are serialized (an overwrite waits for the prior write of that path).
+  Worker errors are re-raised at ``flush()``; an ``atexit`` flush is the
+  backstop so a process never exits with queued checkpoints unwritten.
+
+Disable with ``FT2_VOLCACHE=0`` (no caching) / ``FT2_ASYNC_WRITES=0``
+(``nifti.write_async`` degrades to the synchronous path).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import threading
+from collections import OrderedDict
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable, Optional
+
+_CACHE_MB = float(os.environ.get("FT2_VOLCACHE_MB", "1024"))
+_CACHE_ON = os.environ.get("FT2_VOLCACHE", "1") != "0"
+_ASYNC_ON = os.environ.get("FT2_ASYNC_WRITES", "1") != "0"
+
+_lock = threading.Lock()
+_entries: "OrderedDict[str, _Entry]" = OrderedDict()
+_bytes = 0
+_pending: dict = {}          # path -> Future of the in-flight write
+_errors: list = []           # exceptions raised by completed writes
+_executor: Optional[ThreadPoolExecutor] = None
+
+
+class _Entry:
+    __slots__ = ("vol", "nbytes", "stat", "pending")
+
+    def __init__(self, vol, nbytes):
+        self.vol = vol
+        self.nbytes = nbytes
+        self.stat = None       # (st_size, st_mtime_ns) once the write landed
+        self.pending = False   # write queued but not yet on disk
+
+
+def _key(path) -> str:
+    return os.path.abspath(str(path))
+
+
+def caching_enabled() -> bool:
+    return _CACHE_ON and _CACHE_MB > 0
+
+
+def async_enabled() -> bool:
+    return _ASYNC_ON
+
+
+def put(path, vol) -> None:
+    """Remember ``vol`` as the content of ``path`` (call before/with write)."""
+    if not caching_enabled():
+        return
+    global _bytes
+    nbytes = int(getattr(vol.data, "nbytes", 0))
+    if nbytes > _CACHE_MB * 1e6:
+        return                                    # larger than the whole cap
+    k = _key(path)
+    with _lock:
+        old = _entries.pop(k, None)
+        if old is not None:
+            _bytes -= old.nbytes
+        e = _Entry(vol, nbytes)
+        _entries[k] = e
+        _bytes += nbytes
+        # LRU eviction: never evict an entry whose write is still queued —
+        # it is the only copy of that checkpoint until the worker lands it
+        for kk in list(_entries):
+            if _bytes <= _CACHE_MB * 1e6:
+                break
+            if kk == k or _entries[kk].pending:
+                continue
+            _bytes -= _entries.pop(kk).nbytes
+
+
+def mark_written(path) -> None:
+    """Record the on-disk stat of a completed write for later validation."""
+    if not caching_enabled():
+        return
+    k = _key(path)
+    try:
+        st = os.stat(k)
+    except OSError:
+        return
+    with _lock:
+        e = _entries.get(k)
+        if e is not None:
+            e.stat = (st.st_size, st.st_mtime_ns)
+            e.pending = False
+
+
+def get(path):
+    """The cached Volume for ``path`` if it still matches the file, else None.
+
+    Valid while the write is pending (the cached Volume IS what will land
+    on disk) or while ``os.stat`` matches what the completed write
+    recorded.  Anything else — deleted, rewritten externally, never
+    stat-recorded — invalidates the entry.
+    """
+    if not caching_enabled():
+        return None
+    k = _key(path)
+    with _lock:
+        e = _entries.get(k)
+        if e is None:
+            return None
+        if e.pending:
+            _entries.move_to_end(k)
+            return e.vol
+        if e.stat is not None:
+            try:
+                st = os.stat(k)
+                if (st.st_size, st.st_mtime_ns) == e.stat:
+                    _entries.move_to_end(k)
+                    return e.vol
+            except OSError:
+                pass
+        global _bytes
+        _bytes -= _entries.pop(k).nbytes
+        return None
+
+
+def invalidate(path) -> None:
+    global _bytes
+    with _lock:
+        e = _entries.pop(_key(path), None)
+        if e is not None:
+            _bytes -= e.nbytes
+
+
+def clear() -> None:
+    """Drop every cache entry (pending writes keep running; flush() first
+    if their content must be on disk)."""
+    global _bytes
+    with _lock:
+        _entries.clear()
+        _bytes = 0
+
+
+def _get_executor() -> ThreadPoolExecutor:
+    global _executor
+    if _executor is None:
+        _executor = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="ft2-volwrite")
+        atexit.register(_atexit_flush)
+    return _executor
+
+
+def submit_write(path, fn: Callable[[], None]) -> Future:
+    """Queue ``fn`` (download + encode + write of ``path``) on the writer
+    pool.  Serialized per path: an overwrite of a still-queued path waits
+    for the prior write so on-disk content ordering matches call order."""
+    k = _key(path)
+    prior = _pending.get(k)
+    if prior is not None:
+        try:
+            prior.result()
+        except Exception:
+            pass                                  # already recorded in _errors
+
+    fut: Future = Future()
+    with _lock:
+        e = _entries.get(k)
+        if e is not None:
+            e.pending = True
+        _pending[k] = fut                         # registered BEFORE the
+                                                  # worker can complete it
+
+    def run():
+        try:
+            fn()
+            mark_written(k)
+            fut.set_result(None)
+        except Exception as exc:                  # surfaced at flush()
+            _errors.append(exc)
+            fut.set_exception(exc)
+        finally:
+            with _lock:
+                if _pending.get(k) is fut:
+                    del _pending[k]
+
+    _get_executor().submit(run)
+    return fut
+
+
+def pending(path) -> bool:
+    return _key(path) in _pending
+
+
+def flush() -> None:
+    """Wait for every queued write; re-raise the first worker error."""
+    while True:
+        with _lock:
+            items = list(_pending.items())
+        if not items:
+            break
+        for k, fut in items:
+            try:
+                fut.result()
+            except Exception:
+                pass
+            with _lock:                           # don't wait on the worker's
+                if _pending.get(k) is fut:        # finally-block to deregister
+                    del _pending[k]
+    if _errors:
+        exc = _errors[0]
+        _errors.clear()
+        raise exc
+
+
+def _atexit_flush() -> None:
+    try:
+        flush()
+    except Exception as exc:                      # pragma: no cover
+        import logging
+
+        logging.getLogger(__name__).error("async NIfTI write failed: %s", exc)

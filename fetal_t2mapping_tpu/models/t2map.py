@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..config import FitConfig, NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS
 from ..core.stack import EchoStack
 from ..core.volume import Volume
+from ..utils.profiling import profiler
 from .init import grid_init, loglinear_init
 from .pallas_fit import fit_fused
 from .signal import predict_signal
@@ -141,34 +142,60 @@ def fit_stack(
     # the gaussian residual uses the (k, T2) columns only, the 3-param
     # models include sigma — i.e. all P fitted columns either way.
     res_dev = _residual_mean(cfg.model, result.x, jnp.asarray(te), batch_dev)
-    x = np.asarray(result.x)
+
+    # pack every per-voxel output column into ONE device array and download
+    # once: N separate np.asarray calls each pay the link's fixed RPC
+    # latency (~50 ms on a tunneled chip), the packed stack pays it once
+    xd = jnp.asarray(result.x)
+    cols = [xd[:, 0], xd[:, 1]]
+    if cfg.n_params == 3:
+        cols.append(xd[:, 2])
+    cols += [jnp.asarray(res_dev),
+             jnp.asarray(result.converged).astype(jnp.float32),
+             jnp.asarray(result.n_iter).astype(jnp.float32),
+             jnp.asarray(result.fun)]
+    with profiler.stage("t2map.fit.download"):
+        packed = np.asarray(jnp.stack(cols, axis=0))
     fit_seconds = time.time() - t0
 
-    k_v, t2_v = x[:n, 0], x[:n, 1]
-    sigma_v = x[:n, 2] if cfg.n_params == 3 else np.zeros(n, np.float32)
-    res_v = np.asarray(res_dev[:n])
+    k_v, t2_v = packed[0, :n], packed[1, :n]
+    off = 2
+    if cfg.n_params == 3:
+        sigma_v, off = packed[2, :n], 3
+    else:
+        sigma_v = np.zeros(n, np.float32)
+    res_v, conv_v, niter_v, fun_v = (packed[off, :n], packed[off + 1, :n],
+                                     packed[off + 2, :n], packed[off + 3, :n])
 
     # sampled per-iteration traces for convergence observability
-    rng = np.random.default_rng(seed)
-    n_tr = min(trace_samples, n)
-    tr_sel = rng.choice(n, size=n_tr, replace=False)
-    tr_batch = batch[tr_sel]
-    tr_lo, tr_hi = _bounds_for(cfg, tr_batch)
-    tr_x0 = np.asarray(_init_for(cfg, tr_batch, te, tr_lo, tr_hi))
-    _, traces = fit_batch_traced(
-        tr_batch, te, tr_x0, tr_lo, tr_hi,
-        model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol,
-    )
-    traces = {name: np.asarray(v) for name, v in traces.items()}
+    with profiler.stage("t2map.fit.traces"):
+        rng = np.random.default_rng(seed)
+        n_tr = min(trace_samples, n)
+        tr_sel = rng.choice(n, size=n_tr, replace=False)
+        tr_batch = batch[tr_sel]
+        tr_lo, tr_hi = _bounds_for(cfg, tr_batch)
+        tr_x0 = np.asarray(_init_for(cfg, tr_batch, te, tr_lo, tr_hi))
+        _, traces = fit_batch_traced(
+            tr_batch, te, tr_x0, tr_lo, tr_hi,
+            model=cfg.model, max_iters=cfg.max_iters, ftol=cfg.ftol,
+            gtol=cfg.gtol,
+        )
+        # same packing trick: one download for the three trace planes
+        tr_packed = np.asarray(jnp.stack(
+            [jnp.asarray(traces["f_val"], jnp.float32),
+             jnp.asarray(traces["step_size"], jnp.float32),
+             jnp.asarray(traces["active"], jnp.float32)], axis=0))
+        traces = {"f_val": tr_packed[0], "step_size": tr_packed[1],
+                  "active": tr_packed[2] > 0.5}
 
     return T2FitOutput(
         t2=stack.scatter(t2_v, flat_idx),
         k=stack.scatter(k_v, flat_idx),
         sigma=stack.scatter(sigma_v, flat_idx),
         res=stack.scatter(res_v, flat_idx),
-        converged=stack.scatter(np.asarray(result.converged[:n], np.float32), flat_idx),
-        n_iter=stack.scatter(np.asarray(result.n_iter[:n], np.float32), flat_idx),
-        fun=stack.scatter(np.asarray(result.fun[:n], np.float32), flat_idx),
+        converged=stack.scatter(conv_v, flat_idx),
+        n_iter=stack.scatter(niter_v, flat_idx),
+        fun=stack.scatter(fun_v, flat_idx),
         traces=traces,
         trace_t2=t2_v[tr_sel],
         n_voxels=n,

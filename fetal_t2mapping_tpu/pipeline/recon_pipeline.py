@@ -11,6 +11,7 @@ bet->feta->atlas labels. In-vitro: phantom sphere labels from seeds.
 
 from __future__ import annotations
 
+import functools
 import glob
 import logging
 import os
@@ -35,20 +36,37 @@ from ..utils.bids import get_img_path, mk_bids_dir
 log = logging.getLogger("fetal_t2mapping_tpu.recon")
 
 
+def _flushes_writes(fn):
+    """Stage functions queue NIfTI writes on the async writer pool; each
+    public stage drains the queue on exit so the filesystem-is-checkpoint
+    contract holds at every API boundary (a caller may list/read the
+    derivative tree right after the call returns)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            nifti.flush_writes()
+    return wrapper
+
+
+@_flushes_writes
 def run_resample_volumes(metadata: pd.DataFrame, bids_path: str,
                          high_res: float = 1.0, overwrite: bool = False) -> None:
     """Step 2: per-acquisition isotropic resample (reference :35-59)."""
     log.info("===== Resampling to %.2f mm =====", high_res)
     for _, acq in metadata.iterrows():
         out_path = get_img_path(bids_path, acq, C.RESAMP_DIRNAME)
-        if os.path.exists(out_path) and not overwrite:
+        if nifti.exists(out_path) and not overwrite:
             continue
         vol = nifti.read(get_img_path(bids_path, acq, C.IN_DIRNAME))
-        hi = resample_volume(vol, [high_res] * 3)
-        nifti.write(out_path, hi, dtype=np.float32)
+        hi = resample_volume(vol, [high_res] * 3, device=True)
+        nifti.write_async(out_path, hi, dtype=np.float32)
         log.info("resampled %s -> %s", acq["run"], out_path)
 
 
+@_flushes_writes
 def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
                             denoise: bool = True, fixed_type: str = "ax",
                             overwrite: bool = False,
@@ -62,7 +80,7 @@ def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
             out_path = get_img_path(bids_path, acq, C.RECON_DIRNAME)
             # checkpoint test BEFORE loading: a resumed run must not inflate
             # three HR volumes per TE just to skip them
-            if os.path.exists(out_path) and not overwrite:
+            if nifti.exists(out_path) and not overwrite:
                 if first_recon is None:
                     first_recon = nifti.read(out_path)
                 continue
@@ -84,13 +102,16 @@ def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
             else:
                 # register later echoes onto the first TE's recon (:378-383)
                 reg = register_rigid(first_recon, recon, **(registration_kwargs or {}))
-                recon = resample_to_reference(recon, first_recon, transform=reg.matrix)
+                recon = resample_to_reference(recon, first_recon,
+                                              transform=reg.matrix_device,
+                                              device=True)
             if denoise:
                 recon = denoise_volume(recon)
-            nifti.write(out_path, recon, dtype=np.float32)
+            nifti.write_async(out_path, recon, dtype=np.float32)
             log.info("recon saved: %s", out_path)
 
 
+@_flushes_writes
 def run_biasfield_correction(metadata: pd.DataFrame, bids_path: str, *,
                              shared: bool = False, overwrite: bool = False,
                              **n4_kwargs) -> None:
@@ -103,27 +124,28 @@ def run_biasfield_correction(metadata: pd.DataFrame, bids_path: str, *,
     if not shared:
         for _, acq in metadata.iterrows():
             out_path = get_img_path(bids_path, acq, C.N4_DIRNAME)
-            if os.path.exists(out_path) and not overwrite:
+            if nifti.exists(out_path) and not overwrite:
                 continue
             vol = nifti.read(get_img_path(bids_path, acq, C.RESAMP_DIRNAME))
             res = n4_bias_correction(vol, **n4_kwargs)
-            nifti.write(out_path, res.corrected, dtype=np.float32)
+            nifti.write_async(out_path, res.corrected, dtype=np.float32)
             log.info("n4: %s", out_path)
         return
     group_keys = ["prj", "sub", "ses", "ImageOrientationPatientSTR"]
     for _, md in metadata.groupby(group_keys):
         acqs = list(md.iterrows())
         out_paths = [get_img_path(bids_path, a, C.N4_DIRNAME) for _, a in acqs]
-        if all(os.path.exists(p) for p in out_paths) and not overwrite:
+        if all(nifti.exists(p) for p in out_paths) and not overwrite:
             continue
         vols = [nifti.read(get_img_path(bids_path, a, C.RESAMP_DIRNAME))
                 for _, a in acqs]
         corrected, _ = shared_log_bias(vols, **n4_kwargs)
         for out_path, vol in zip(out_paths, corrected):
-            nifti.write(out_path, vol, dtype=np.float32)
+            nifti.write_async(out_path, vol, dtype=np.float32)
             log.info("n4 (shared): %s", out_path)
 
 
+@_flushes_writes
 def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
                                registration_kwargs: Optional[dict] = None) -> None:
     """Step 3bis: register 1.5 T recons to the 0.55 T ses-01 te-114 recon
@@ -137,7 +159,7 @@ def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
             moving_path = get_img_path(bids_path, acq, C.RECON_DIRNAME)
             fixed_path = re.sub(r"ses-\d{2}", "ses-01", moving_path)
             fixed_path = re.sub(r"te-\d+", "te-114", fixed_path)
-            if not os.path.exists(moving_path) or not os.path.exists(fixed_path):
+            if not nifti.exists(moving_path) or not nifti.exists(fixed_path):
                 continue
             fixed = nifti.read(fixed_path)
             moving = nifti.read(moving_path)
@@ -146,9 +168,14 @@ def register_high_to_low_field(metadata: pd.DataFrame, bids_path: str,
             reg = register_rigid(fixed, moving,
                                  init_params=warm.get((prj, sub, ses)),
                                  **(registration_kwargs or {}))
-            warm[(prj, sub, ses)] = reg.params
-            out = resample_to_reference(moving, fixed, transform=reg.matrix)
-            nifti.write(moving_path, out, dtype=np.float32)
+            # device params/matrix: the whole per-session echo chain
+            # (solve -> warm-start next solve -> warp -> async write)
+            # stays on device with zero host syncs
+            warm[(prj, sub, ses)] = reg.params_device
+            out = resample_to_reference(moving, fixed,
+                                        transform=reg.matrix_device,
+                                        device=True)
+            nifti.write_async(moving_path, out, dtype=np.float32)
             log.info("hf->lf registered: %s", moving_path)
 
 
@@ -167,6 +194,7 @@ def _derivative_files(bids_path, prj, sub, ses, dirname):
     return sorted(glob.glob(os.path.join(d, "*.nii.gz")))
 
 
+@_flushes_writes
 def run_masks_and_bet(metadata: pd.DataFrame, bids_path: str,
                       overwrite: bool = False) -> None:
     """Steps 5 + 5bis: masks from labels; brain extraction (reference :935-974)."""
@@ -176,10 +204,10 @@ def run_masks_and_bet(metadata: pd.DataFrame, bids_path: str,
         for lbl_path in _derivative_files(bids_path, prj, sub, ses, C.SYNTHSEG_DIRNAME):
             out = os.path.join(
                 mask_dir, os.path.basename(lbl_path).replace("synthseg", "mask"))
-            if os.path.exists(out) and not overwrite:
+            if nifti.exists(out) and not overwrite:
                 continue
             mask = mask_from_labels(nifti.read(lbl_path))
-            nifti.write(out, mask, dtype=np.uint8)
+            nifti.write_async(out, mask, dtype=np.uint8)
         # derive each mask path from the recon filename (never pair two
         # independently sorted globs: a count/naming mismatch would silently
         # BET the wrong mask onto a recon)
@@ -188,18 +216,19 @@ def run_masks_and_bet(metadata: pd.DataFrame, bids_path: str,
             mask_path = os.path.join(
                 bids_path, prj, "derivatives", C.MASK_DIRNAME, sub, ses, "anat",
                 base.replace(C.RECON_DIRNAME + ".nii", C.MASK_DIRNAME + ".nii"))
-            if not os.path.exists(mask_path):
+            if not nifti.exists(mask_path):
                 raise FileNotFoundError(
                     f"no mask for recon {recon_path!r} (expected {mask_path!r}; "
                     "did the SynthSeg/mask step run?)")
             out = os.path.join(
                 bet_dir, base.replace(C.RECON_DIRNAME + ".nii", C.BET_DIRNAME + ".nii"))
-            if os.path.exists(out) and not overwrite:
+            if nifti.exists(out) and not overwrite:
                 continue
             bet = extract_brain(nifti.read(recon_path), nifti.read(mask_path))
-            nifti.write(out, bet, dtype=np.float32)
+            nifti.write_async(out, bet, dtype=np.float32)
 
 
+@_flushes_writes
 def run_feta_labels(metadata: pd.DataFrame, bids_path: str,
                     overwrite: bool = False) -> None:
     """Step 6: SynthSeg -> FeTA remap (reference :976-1009)."""
@@ -208,12 +237,13 @@ def run_feta_labels(metadata: pd.DataFrame, bids_path: str,
         for lbl_path in _derivative_files(bids_path, prj, sub, ses, C.SYNTHSEG_DIRNAME):
             out = os.path.join(
                 out_dir, os.path.basename(lbl_path).replace("synthseg", "feta"))
-            if os.path.exists(out) and not overwrite:
+            if nifti.exists(out) and not overwrite:
                 continue
             feta = synthseg_to_feta(nifti.read(lbl_path))
-            nifti.write(out, feta, dtype=np.int16)
+            nifti.write_async(out, feta, dtype=np.int16)
 
 
+@_flushes_writes
 def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
                      mni_template: Optional[str] = None,
                      jhu_atlas: Optional[str] = None,
@@ -232,7 +262,7 @@ def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
     ho_atlas = ho_atlas or os.path.join(
         fsl, "data/atlases/HarvardOxford/HarvardOxford-cort-maxprob-thr50-1mm.nii.gz")
     for p in (mni_template, jhu_atlas, ho_atlas):
-        if not os.path.exists(p):
+        if not nifti.exists(p):
             log.warning("atlas input missing: %s — skipping atlas labels", p)
             return
     te_tag = "te-114" if low_field else "te-115"
@@ -244,7 +274,7 @@ def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
     for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
         bet_path = os.path.join(bids_path, prj, "derivatives", C.BET_DIRNAME, sub, ses,
                                 "anat", f"{sub}_{ses}_{te_tag}_{C.BET_DIRNAME}.nii.gz")
-        if not os.path.exists(bet_path):
+        if not nifti.exists(bet_path):
             log.warning("BET reference missing: %s", bet_path)
             continue
         bet = nifti.read(bet_path)
@@ -257,14 +287,15 @@ def run_atlas_labels(metadata: pd.DataFrame, bids_path: str, *,
         jhu_dir = mk_bids_dir(bids_path, prj, "derivatives", C.JHU_DIRNAME, sub, ses, "anat")
         ho_dir = mk_bids_dir(bids_path, prj, "derivatives", C.HO_DIRNAME, sub, ses, "anat")
         warped = resample_to_reference(mni, bet, transform=reg.matrix)
-        nifti.write(os.path.join(mni_dir, f"{sub}_{ses}_{C.MNI_DIRNAME}.nii.gz"),
+        nifti.write_async(os.path.join(mni_dir, f"{sub}_{ses}_{C.MNI_DIRNAME}.nii.gz"),
                     warped, dtype=np.float32)
         np.savetxt(os.path.join(mni_dir, f"{sub}_{ses}_{C.MNI_DIRNAME}_omat.mat"), reg.matrix)
         for atlas, out_dir, name in ((jhu, jhu_dir, C.JHU_DIRNAME), (ho, ho_dir, C.HO_DIRNAME)):
             labels = resample_to_reference(atlas, bet, transform=reg.matrix, method="nearest")
-            nifti.write(os.path.join(out_dir, f"{sub}_{ses}_{name}.nii.gz"), labels, dtype=np.int16)
+            nifti.write_async(os.path.join(out_dir, f"{sub}_{ses}_{name}.nii.gz"), labels, dtype=np.int16)
 
 
+@_flushes_writes
 def downsample_labels(metadata: pd.DataFrame, bids_path: str,
                       high_dirname: str, low_dirname: str) -> None:
     """Nearest-neighbour resample of HR label maps back to acquisition grids
@@ -277,9 +308,10 @@ def downsample_labels(metadata: pd.DataFrame, bids_path: str,
                 low = high
             else:
                 low = resample_to_reference(high, ref, method="nearest")
-            nifti.write(get_img_path(bids_path, acq, low_dirname), low, dtype=np.int16)
+            nifti.write_async(get_img_path(bids_path, acq, low_dirname), low, dtype=np.int16)
 
 
+@_flushes_writes
 def downsample_masks(metadata: pd.DataFrame, bids_path: str,
                      high_dirname: str, low_dirname: str) -> None:
     """Mask downsampling with dilate+close+open regularization
@@ -296,9 +328,10 @@ def downsample_masks(metadata: pd.DataFrame, bids_path: str,
             m = np.asarray(binary_closing(m, 1))
             m = np.asarray(binary_opening(m, 1))
             out_path = get_img_path(bids_path, acq, low_dirname).replace("masks.nii", "mask.nii")
-            nifti.write(out_path, low.with_data(m.astype(np.uint8)), dtype=np.uint8)
+            nifti.write_async(out_path, low.with_data(m.astype(np.uint8)), dtype=np.uint8)
 
 
+@_flushes_writes
 def build_phantom_masks(metadata: pd.DataFrame, bids_path: str, *,
                         threshold: float = 100.0) -> None:
     """In-vitro: foreground masks from the recon volumes (reference
@@ -315,13 +348,14 @@ def build_phantom_masks(metadata: pd.DataFrame, bids_path: str, *,
         for img_path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
             out_path = os.path.join(out_dir, os.path.basename(img_path).replace(
                 C.RECON_DIRNAME, C.MASK_DIRNAME))
-            if os.path.exists(out_path):
+            if nifti.exists(out_path):
                 continue
             mask = phantom_mask(nifti.read(img_path), threshold=threshold)
-            nifti.write(out_path, mask, dtype=np.uint8)
+            nifti.write_async(out_path, mask, dtype=np.uint8)
             log.info("phantom mask: %s", out_path)
 
 
+@_flushes_writes
 def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
                          seeds: Sequence[Sequence[int]], radius: int = 6) -> None:
     """In-vitro: sphere labels from seed voxels (reference :868-933)."""
@@ -331,11 +365,11 @@ def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
         for img_path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
             out_path = os.path.join(out_dir, os.path.basename(img_path).replace(
                 C.RECON_DIRNAME, C.PHANTOM_LABELS_DIRNAME))
-            if os.path.exists(out_path):
+            if nifti.exists(out_path):
                 continue
             geom = nifti.read(img_path)
             labels = phantom_labels_from_seeds(geom, seeds, radius=radius)
-            nifti.write(out_path, labels, dtype=np.uint8)
+            nifti.write_async(out_path, labels, dtype=np.uint8)
             log.info("phantom labels: %s", out_path)
 
 
@@ -346,6 +380,20 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
     """Full stage-2 pipeline (reference run_qmri_reconstruction.py:5-92)."""
     from ..utils.profiling import profiler
 
+    try:
+        _process_qmri_stages(
+            bids_path, metadata, in_vivo=in_vivo, low_field=low_field,
+            synthseg=synthseg, seeds_key=seeds_key,
+            registration_kwargs=registration_kwargs, profiler=profiler)
+    finally:
+        # every queued checkpoint write lands before the stage returns:
+        # the filesystem-is-checkpoint contract holds at the API boundary
+        with profiler.stage("recon.flush_writes"):
+            nifti.flush_writes()
+
+
+def _process_qmri_stages(bids_path, metadata, *, in_vivo, low_field,
+                         synthseg, seeds_key, registration_kwargs, profiler):
     if in_vivo:
         with profiler.stage("recon.resample"):
             run_resample_volumes(metadata, bids_path, 1.0)

@@ -135,6 +135,9 @@ def process_t2maps(
                 except Exception:
                     log.exception("abandoned prefetch load failed")
             ex.shutdown(wait=True)
+        # queued async map writes land before the API returns (the
+        # filesystem-is-checkpoint contract holds at the boundary)
+        nifti.flush_writes()
     return summaries
 
 
@@ -165,12 +168,13 @@ def _fit_one(job: dict, recons, masks, label_vol, bids_path: str,
         map_paths = save_nifti_maps(out, bids_path, acq, C.T2MAP_DIRNAME, sim, cfg.model)
 
     if make_plots:
-        ada_path = set_ada_path(bids_path, prj)
-        m = stack.mask
-        save_convergence_plots(
-            ada_path, out.traces, out.trace_t2,
-            out.n_iter.data[m], out.fun.data[m], out.t2.data[m],
-            sub, ses, sim, cfg.model)
+        with profiler.stage("t2map.plots"):
+            ada_path = set_ada_path(bids_path, prj)
+            m = stack.mask
+            save_convergence_plots(
+                ada_path, out.traces, out.trace_t2,
+                out.n_iter.data[m], out.fun.data[m], out.t2.data[m],
+                sub, ses, sim, cfg.model)
 
     csv_path = None
     if phantom:

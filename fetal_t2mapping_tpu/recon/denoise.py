@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import numpy as np
+import jax.numpy as jnp
 
 from ..core.volume import Volume
 from ..ops.tv import tv_denoise_slices
@@ -10,6 +10,11 @@ from ..ops.tv import tv_denoise_slices
 
 def denoise_volume(vol: Volume, weight: float = 0.1, eps: float = 2e-4,
                    max_iter: int = 200) -> Volume:
-    """Slice-wise TV-Chambolle denoising, geometry preserved."""
-    out = tv_denoise_slices(np.asarray(vol.data, np.float32), weight, eps, max_iter)
-    return vol.with_data(np.asarray(out, np.float32))
+    """Slice-wise TV-Chambolle denoising, geometry preserved.
+
+    Returns a device-backed Volume: callers that keep computing on device
+    (the fusion->denoise->write chain) never sync; ``np.asarray`` the data
+    to materialize on host."""
+    out = tv_denoise_slices(jnp.asarray(vol.data, jnp.float32), weight, eps,
+                            max_iter)
+    return vol.with_data(out)

@@ -58,7 +58,10 @@ def fuse_orientations(
         mov = imgs[otype]
         mov_dev = mov.with_data(jnp.asarray(mov.data, jnp.float32))
         reg: RegistrationResult = register_rigid(fixed_dev, mov_dev, **kwargs)
-        warped = resample_to_reference(mov_dev, fixed, transform=reg.matrix,
+        # device transform: the register->warp->accumulate chain dispatches
+        # without a single host sync per orientation
+        warped = resample_to_reference(mov_dev, fixed,
+                                       transform=reg.matrix_device,
                                        method="linear", cval=np.nan,
                                        device=True)
         w = warped.data
@@ -70,4 +73,7 @@ def fuse_orientations(
         fused = acc / cov
     else:
         fused = acc / float(len(ORIENTATIONS))
-    return fixed.with_data(np.asarray(fused, np.float32))
+    # device-backed result: downstream consumers (echo-to-echo
+    # registration, denoise, the async NIfTI writer) keep chaining on
+    # device; the download happens off the critical path
+    return fixed.with_data(fused)

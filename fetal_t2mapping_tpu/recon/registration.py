@@ -388,18 +388,86 @@ def _fixed_mask_pyramid(fixed: Volume, fixed_mask, levels: Sequence[int]):
 
 
 # -------------------------------------------------------------------- API
-@dataclasses.dataclass(frozen=True)
 class RegistrationResult:
-    """World->world transform (fixed space -> moving space) + diagnostics."""
+    """World->world transform (fixed space -> moving space) + diagnostics.
 
-    matrix: np.ndarray          # 4x4
-    final_metric: float
-    metric_history: np.ndarray  # per-level concatenated
-    # raw optimizer parameters (6 rigid / 12 affine) — feed back as
-    # init_params to warm-start a related registration (e.g. the next echo
-    # of the same subject, which shares most of the motion)
-    params: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.zeros(0, np.float32))
+    Device-lazy: the solve's outputs stay on device until a host field is
+    touched. ``.matrix`` / ``.params`` / ``.final_metric`` /
+    ``.metric_history`` materialize (one tunnel sync) on first access and
+    are then cached; chained consumers that keep computing on device —
+    fusion warps via ``.matrix_device``, successive-echo warm starts via
+    ``.params_device`` fed back as ``init_params`` — never force a sync,
+    so a whole multi-registration fusion is one uninterrupted dispatch
+    chain.
+    """
+
+    def __init__(self, matrix=None, final_metric=None, metric_history=None,
+                 params=None, *, _solve=None):
+        # _solve: (dev_params, center, scale, [dev_history...], mode)
+        self._matrix = matrix
+        self._final_metric = final_metric
+        self._metric_history = metric_history
+        self._params = None if params is None else np.asarray(params, np.float32)
+        self._solve = _solve
+
+    def _matrix_from_params(self, p):
+        _, center, scale, _, mode = self._solve
+        if mode == "rigid":
+            R, offset = _rigid_matrix(p, center, scale)
+        else:
+            q = jnp.concatenate([p[:9], p[9:] * _AFFINE_T_SCALE])
+            R, offset = _affine_matrix(q, jnp.asarray(center, jnp.float32))
+        return R, offset
+
+    # ---- device views (no host sync)
+    @property
+    def params_device(self):
+        if self._solve is not None:
+            return self._solve[0]
+        return jnp.asarray(self.params, jnp.float32)
+
+    @property
+    def matrix_device(self):
+        """4x4 world->world transform as a device array (float32)."""
+        if self._solve is None:
+            return jnp.asarray(self.matrix, jnp.float32)
+        R, offset = self._matrix_from_params(self._solve[0])
+        T = jnp.eye(4, dtype=jnp.float32)
+        return T.at[:3, :3].set(R).at[:3, 3].set(offset)
+
+    # ---- host fields (sync + cache on first access)
+    @property
+    def matrix(self) -> np.ndarray:
+        if self._matrix is None:
+            R, offset = self._matrix_from_params(self._solve[0])
+            T = np.eye(4)
+            T[:3, :3] = np.asarray(R)
+            T[:3, 3] = np.asarray(offset)
+            self._matrix = T
+        return self._matrix
+
+    @property
+    def final_metric(self) -> float:
+        if self._final_metric is None:
+            self._final_metric = float(self.metric_history[-1])
+        return self._final_metric
+
+    @property
+    def metric_history(self) -> np.ndarray:
+        if self._metric_history is None:
+            self._metric_history = np.concatenate(
+                [np.asarray(h) for h in self._solve[3]])
+        return self._metric_history
+
+    @property
+    def params(self) -> np.ndarray:
+        """Raw optimizer parameters (6 rigid / 12 affine) — feed back as
+        ``init_params`` to warm-start a related registration (e.g. the
+        next echo of the same subject, which shares most of the motion);
+        prefer ``params_device`` in device-chained callers."""
+        if self._params is None:
+            self._params = np.asarray(self._solve[0], np.float32)
+        return self._params
 
 
 def register_rigid(
@@ -448,16 +516,8 @@ def register_rigid(
                                jnp.asarray(scale), params, jnp.float32(lr),
                                kind=metric, mode="rigid",
                                iters_seq=tuple(int(i) for i in iters))
-    history = [np.asarray(h) for h in hist]
-    f_last = float(history[-1][-1])
-
-    R, offset = _rigid_matrix(np.asarray(params), center, scale)
-    T = np.eye(4)
-    T[:3, :3] = np.asarray(R)
-    T[:3, 3] = np.asarray(offset)
-    return RegistrationResult(matrix=T, final_metric=f_last,
-                              metric_history=np.concatenate(history),
-                              params=np.asarray(params, np.float32))
+    # device-lazy result: nothing syncs until a host field is touched
+    return RegistrationResult(_solve=(params, center, scale, list(hist), "rigid"))
 
 
 def register_affine(
@@ -501,18 +561,8 @@ def register_affine(
                                params, jnp.float32(lr), kind=metric,
                                mode="affine",
                                iters_seq=tuple(int(i) for i in iters))
-    history = [np.asarray(h) for h in hist]
-    f_last = float(history[-1][-1])
-
-    q = np.concatenate([np.asarray(params)[:9],
-                        np.asarray(params)[9:] * _AFFINE_T_SCALE])
-    M, offset = _affine_matrix(jnp.asarray(q), jnp.asarray(center))
-    T = np.eye(4)
-    T[:3, :3] = np.asarray(M)
-    T[:3, 3] = np.asarray(offset)
-    return RegistrationResult(matrix=T, final_metric=f_last,
-                              metric_history=np.concatenate(history),
-                              params=np.asarray(params, np.float32))
+    return RegistrationResult(
+        _solve=(params, center, np.float32(1.0), list(hist), "affine"))
 
 
 def register_and_resample(fixed: Volume, moving: Volume, *, mode: str = "rigid",

@@ -42,11 +42,13 @@ def sample_volume_at_world(vol: Volume, world_pts, *, method: str = "linear",
 
 
 def resample_volume(vol: Volume, new_spacing: Sequence[float] = (1.0, 1.0, 1.0),
-                    *, method: str = "linear", cval: float = 0.0) -> Volume:
+                    *, method: str = "linear", cval: float = 0.0,
+                    device: bool = False) -> Volume:
     """Resample to a new voxel spacing (same origin/direction).
 
     New size = round(old_size * old_spacing / new_spacing), matching the
-    reference (utils/qmri_utils.py:77).
+    reference (utils/qmri_utils.py:77). ``device=True`` keeps the result
+    on device (see :func:`resample_to_reference`).
     """
     new_size = [int(round(osz * ospc / nspc))
                 for osz, ospc, nspc in zip(vol.size, vol.spacing, new_spacing)]
@@ -56,7 +58,8 @@ def resample_volume(vol: Volume, new_spacing: Sequence[float] = (1.0, 1.0, 1.0),
         origin=vol.origin,
         direction=vol.direction,
     )
-    return resample_to_reference(vol, target, method=method, cval=cval)
+    return resample_to_reference(vol, target, method=method, cval=cval,
+                                 device=device)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "method"))
@@ -97,13 +100,26 @@ def resample_to_reference(vol: Volume, ref: Volume, *, transform: Optional[np.nd
             likewise already be a device array (the upload is skipped).
     """
     A_ref = ref.direction_matrix @ np.diag(ref.spacing)      # idx(x,y,z)->world
-    T = np.eye(4) if transform is None else np.asarray(transform, np.float64)
     M_inv, origin = _world_to_index_matrix(vol)
-    B = M_inv @ T[:3, :3] @ A_ref
-    c = M_inv @ (T[:3, :3] @ np.asarray(ref.origin) + T[:3, 3] - origin)
+    if transform is not None and not isinstance(transform, np.ndarray) \
+            and type(transform).__module__.split(".")[0] != "numpy":
+        # device transform (e.g. RegistrationResult.matrix_device): compose
+        # B/c ON DEVICE so a registration->warp chain never syncs the host
+        T = jnp.asarray(transform, jnp.float32)
+        R3, t3 = T[:3, :3], T[:3, 3]
+        Mi = jnp.asarray(M_inv, jnp.float32)
+        B_T = (Mi @ R3 @ jnp.asarray(A_ref, jnp.float32)).T
+        c = Mi @ (R3 @ jnp.asarray(ref.origin, jnp.float32) + t3
+                  - jnp.asarray(origin, jnp.float32))
+    else:
+        T = np.eye(4) if transform is None else np.asarray(transform, np.float64)
+        B = M_inv @ T[:3, :3] @ A_ref
+        c = jnp.asarray(
+            M_inv @ (T[:3, :3] @ np.asarray(ref.origin) + T[:3, 3] - origin),
+            jnp.float32)
+        B_T = jnp.asarray(B.T, jnp.float32)
     vals = _affine_gather(
-        jnp.asarray(vol.data), jnp.asarray(B.T, jnp.float32),
-        jnp.asarray(c, jnp.float32), jnp.float32(cval),
+        jnp.asarray(vol.data), B_T, c, jnp.float32(cval),
         shape=tuple(int(s) for s in ref.shape), method=method)
     if device:
         data = vals

@@ -28,21 +28,17 @@ def save_nifti_maps(out, bids_path: str, acq: Mapping, t2map_dirname: str,
                     sim: str, fit: str) -> dict:
     """Write t2/k/sigma/res maps; returns {param: path}.
 
-    The four gzip compressions run in a thread pool — the native writer
-    (and zlib inside the pure-Python path) releases the GIL, so the maps
-    compress in parallel."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    The writes are queued on the shared async writer pool
+    (:mod:`..core.volcache`): the device downloads + gzip compressions
+    overlap the caller's next work (and each other — the native writer
+    and zlib release the GIL). The pipeline flushes before returning."""
     base = get_img_path(bids_path, acq, t2map_dirname)
     jobs = []
     for vol, param in zip((out.t2, out.k, out.sigma, out.res), ("t2", "k", "sigma", "res")):
         path = base.replace("t2map.nii.gz", f"sim-{sim}_{param}map_ada-{fit}.nii.gz")
         jobs.append((param, path, vol))
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        futures = [pool.submit(nifti.write, path, vol, dtype=np.float32)
-                   for _, path, vol in jobs]
-        for f in futures:
-            f.result()
+    for _, path, vol in jobs:
+        nifti.write_async(path, vol, dtype=np.float32)
     return {param: path for param, path, _ in jobs}
 
 

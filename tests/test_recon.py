@@ -124,6 +124,33 @@ class TestRegistration:
                               **warm_kwargs)
         assert warm.final_metric <= full.final_metric + 0.01
 
+    def test_device_lazy_result_consistency(self):
+        # the device views (matrix_device/params_device) must agree with
+        # the host fields, and a device-transform warp must match the host-
+        # transform warp — the sync-free fusion chain depends on both
+        import jax
+
+        fixed = _blob_volume(seed=8)
+        T = np.eye(4)
+        T[:3, 3] = [3.0, -2.0, 4.0]
+        moving = resample_to_reference(fixed, fixed, transform=T)
+        reg = register_rigid(fixed, moving, **FAST_REG)
+        assert isinstance(reg.matrix_device, jax.Array)
+        assert isinstance(reg.params_device, jax.Array)
+        np.testing.assert_allclose(np.asarray(reg.matrix_device), reg.matrix,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(reg.params_device), reg.params,
+                                   atol=1e-6)
+        w_host = resample_to_reference(moving, fixed, transform=reg.matrix)
+        w_dev = resample_to_reference(moving, fixed,
+                                      transform=reg.matrix_device, device=True)
+        np.testing.assert_allclose(np.asarray(w_dev.data),
+                                   np.asarray(w_host.data), atol=1e-2)
+        # warm-starting from the device params matches host-params behavior
+        warm = register_rigid(fixed, moving, init_params=reg.params_device,
+                              **dict(FAST_REG, iters=(4, 2)))
+        assert warm.final_metric <= reg.final_metric + 0.01
+
     def test_level_config_length_mismatch_raises(self):
         # a short samples/iters/sigmas sequence must not silently skip the
         # finest pyramid level(s)

@@ -1,0 +1,137 @@
+"""Volume cache + asynchronous NIfTI writes (core/volcache.py).
+
+The pipeline's filesystem-is-checkpoint contract (reference
+utils/dcm_utils.py:277) must survive the cache: reads reflect what the
+write put on disk, external modification/deletion invalidates, queued
+writes are visible to exists()/read() and always land by flush().
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from fetal_t2mapping_tpu.core import nifti, volcache
+from fetal_t2mapping_tpu.core.volume import Volume
+
+
+def _vol(val, shape=(6, 5, 4), dtype=np.float32):
+    data = np.full(shape, val, dtype)
+    return Volume(data, spacing=(1, 1, 1), origin=(0, 0, 0))
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache():
+    volcache.flush()
+    volcache.clear()
+    yield
+    volcache.flush()
+    volcache.clear()
+
+
+def test_write_then_read_hits_cache(tmp_path):
+    p = str(tmp_path / "a.nii.gz")
+    v = _vol(3.0)
+    nifti.write(p, v)
+    r = nifti.read(p)
+    # the cached array is returned as-is: no disk read, no copy
+    assert r.data is v.data
+    # and the disk content agrees when the cache is bypassed
+    volcache.clear()
+    r2 = nifti.read(p)
+    np.testing.assert_array_equal(np.asarray(r2.data), np.asarray(v.data))
+
+
+def test_dtype_cast_is_reflected_in_cache(tmp_path):
+    p = str(tmp_path / "m.nii.gz")
+    mask = Volume(np.ones((4, 4, 4), bool), spacing=(1, 1, 1), origin=(0, 0, 0))
+    nifti.write(p, mask, dtype=np.uint8)
+    r = nifti.read(p)
+    assert np.asarray(r.data).dtype == np.uint8   # cache == disk dtype
+    volcache.clear()
+    assert np.asarray(nifti.read(p).data).dtype == np.uint8
+
+
+def test_external_modification_invalidates(tmp_path):
+    pa, pb = str(tmp_path / "a.nii.gz"), str(tmp_path / "b.nii.gz")
+    nifti.write(pa, _vol(1.0))
+    nifti.write(pb, _vol(2.0))
+    shutil.copy(pb, pa)                      # external overwrite of pa
+    os.utime(pa)                             # ensure a fresh mtime_ns
+    r = nifti.read(pa)
+    assert float(np.asarray(r.data)[0, 0, 0]) == 2.0
+
+
+def test_deleted_file_is_not_served_from_cache(tmp_path):
+    p = str(tmp_path / "gone.nii.gz")
+    nifti.write(p, _vol(1.0))
+    os.remove(p)
+    with pytest.raises(OSError):
+        nifti.read(p)
+
+
+def test_write_async_visible_and_flushes(tmp_path):
+    p = str(tmp_path / "async.nii.gz")
+    v = _vol(7.5)
+    nifti.write_async(p, v)
+    assert nifti.exists(p)                   # pending or landed
+    r = nifti.read(p)                        # served from cache immediately
+    np.testing.assert_array_equal(np.asarray(r.data), np.asarray(v.data))
+    nifti.flush_writes()
+    assert os.path.exists(p)
+    volcache.clear()
+    r2 = nifti.read(p)
+    np.testing.assert_array_equal(np.asarray(r2.data), np.asarray(v.data))
+
+
+def test_async_overwrite_order(tmp_path):
+    p = str(tmp_path / "ow.nii.gz")
+    nifti.write_async(p, _vol(1.0))
+    nifti.write_async(p, _vol(2.0))
+    nifti.flush_writes()
+    volcache.clear()
+    assert float(np.asarray(nifti.read(p).data)[0, 0, 0]) == 2.0
+
+
+def test_async_error_surfaces_at_flush(tmp_path):
+    p = str(tmp_path / "no" / "such" / "dir" / "x.nii.gz")
+    nifti.write_async(p, _vol(1.0))
+    with pytest.raises(Exception):
+        nifti.flush_writes()
+    nifti.flush_writes()                     # error queue drained
+
+
+def test_read_batch_mixes_cache_and_disk(tmp_path):
+    pa, pb = str(tmp_path / "a.nii.gz"), str(tmp_path / "b.nii.gz")
+    va, vb = _vol(1.0), _vol(2.0)
+    nifti.write(pa, va)
+    nifti.write(pb, vb)
+    volcache.invalidate(pb)                  # pb must come from disk
+    ra, rb = nifti.read_batch([pa, pb])
+    assert ra.data is va.data
+    np.testing.assert_array_equal(np.asarray(rb.data), np.asarray(vb.data))
+
+
+def test_lru_eviction_spares_nothing_needed(tmp_path, monkeypatch):
+    monkeypatch.setattr(volcache, "_CACHE_MB", 0.003)   # 3 KB cap
+    pa, pb = str(tmp_path / "a.nii.gz"), str(tmp_path / "b.nii.gz")
+    nifti.write(pa, _vol(1.0, shape=(8, 8, 8)))         # 2 KB each
+    nifti.write(pb, _vol(2.0, shape=(8, 8, 8)))
+    # pa evicted, pb cached; both still readable (pa from disk)
+    assert volcache.get(pa) is None
+    assert volcache.get(pb) is not None
+    assert float(np.asarray(nifti.read(pa).data)[0, 0, 0]) == 1.0
+
+
+def test_device_array_roundtrip(tmp_path):
+    jnp = pytest.importorskip("jax.numpy")
+    p = str(tmp_path / "dev.nii.gz")
+    host = np.random.default_rng(0).normal(size=(5, 6, 7)).astype(np.float32)
+    v = Volume(jnp.asarray(host), spacing=(1, 1, 1), origin=(0, 0, 0))
+    nifti.write_async(p, v)
+    r = nifti.read(p)                        # device-backed cache hit
+    np.testing.assert_array_equal(np.asarray(r.data), host)
+    nifti.flush_writes()
+    volcache.clear()
+    np.testing.assert_array_equal(np.asarray(nifti.read(p).data), host)
