@@ -18,14 +18,24 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.cm as cm  # noqa: E402
-import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib.colors import Normalize  # noqa: E402
+from matplotlib.figure import Figure  # noqa: E402
+
+# Figures are built with the object-oriented API (Figure + Agg canvas),
+# NOT pyplot: no global figure registry, so rendering is thread-safe and
+# the pipeline can push it off the per-session critical path.
+
+
+def _subplots(figsize):
+    fig = Figure(figsize=figsize)
+    return fig, fig.add_subplot()
 
 
 def _norm_cmap(values):
     vmin, vmax = float(np.min(values)), float(np.max(values))
     if vmin == vmax:
         vmax = vmin + 1.0
-    return plt.Normalize(vmin=vmin, vmax=vmax), cm.jet
+    return Normalize(vmin=vmin, vmax=vmax), cm.jet
 
 
 def _trace_lines(ax, series, active, t2_values, norm, cmap):
@@ -49,7 +59,7 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
     norm, cmap = _norm_cmap(trace_t2)
 
     # 1. loss curves
-    fig, ax = plt.subplots(figsize=(12, 6))
+    fig, ax = _subplots((12, 6))
     _trace_lines(ax, f_val, active, trace_t2, norm, cmap)
     sm = cm.ScalarMappable(cmap=cmap, norm=norm)
     sm.set_array([])
@@ -58,14 +68,13 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
     ax.set_ylabel("Objective Function Value (Loss)")
     ax.set_title("Convergence of Sampled Voxels Colored by T2 Value")
     ax.grid(True)
-    plt.tight_layout()
+    fig.tight_layout()
     p = os.path.join(ada_path, f"convergence_sampled_voxels_by_t2_{sub}_{ses}_sim-{sim}_{fit}.png")
-    plt.savefig(p)
-    plt.close(fig)
+    fig.savefig(p)
     paths.append(p)
 
     # 2. step-size curves (log y)
-    fig, ax = plt.subplots(figsize=(12, 6))
+    fig, ax = _subplots((12, 6))
     _trace_lines(ax, np.maximum(step, 1e-12), active, trace_t2, norm, cmap)
     sm = cm.ScalarMappable(cmap=cmap, norm=norm)
     sm.set_array([])
@@ -75,10 +84,9 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
     ax.set_yscale("log")
     ax.set_title("Step-Size Convergence of Sampled Voxels Colored by T2 Value")
     ax.grid(True)
-    plt.tight_layout()
+    fig.tight_layout()
     p = os.path.join(ada_path, f"step_size_convergence_sampled_voxels_by_t2_{sub}_{ses}_sim-{sim}_ada-{fit}.png")
-    plt.savefig(p)
-    plt.close(fig)
+    fig.savefig(p)
     paths.append(p)
 
     # 3. iterations vs final loss scatter. Deterministically subsampled to
@@ -93,7 +101,7 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
                                               replace=False)
         n_iter, final_fun, all_t2 = n_iter[sel], final_fun[sel], all_t2[sel]
     nrm2, cmap2 = _norm_cmap(all_t2)
-    fig, ax = plt.subplots(figsize=(10, 8))
+    fig, ax = _subplots((10, 8))
     ax.scatter(n_iter, final_fun, c=all_t2, cmap=cmap2, norm=nrm2, s=4)
     sm = cm.ScalarMappable(cmap=cmap2, norm=nrm2)
     sm.set_array([])
@@ -102,9 +110,8 @@ def save_convergence_plots(ada_path: str, traces: Dict[str, np.ndarray],
     ax.set_ylabel("Final Loss Function Value")
     ax.set_title("Final Number of Iterations vs Final Loss (Colored by T2)")
     ax.grid(True)
-    plt.tight_layout()
+    fig.tight_layout()
     p = os.path.join(ada_path, f"scatter_iterations_vs_loss_by_t2_{sub}_{ses}_sim-{sim}_ada-{fit}.png")
-    plt.savefig(p)
-    plt.close(fig)
+    fig.savefig(p)
     paths.append(p)
     return paths

@@ -14,6 +14,7 @@ LPS spacing/origin/direction. Conversion is ``LPS = diag(-1,-1,1) @ RAS``.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 from typing import Optional
 
@@ -40,6 +41,12 @@ _DT_TO_NP = {
 _NP_TO_DT = {v: k for k, v in _DT_TO_NP.items()}
 
 _FLIP_LPS = np.diag([-1.0, -1.0, 1.0])  # RAS <-> LPS
+
+# gzip level for written volumes. Default 4: ~2x faster to compress than
+# the zlib default 6 at a few-percent size cost — the writer pool's
+# compress time sits on the pipeline's flush path, the bytes land on
+# local scratch. Override with FT2_GZIP_LEVEL (0-9).
+_GZIP_LEVEL = int(os.environ.get("FT2_GZIP_LEVEL", "4"))
 
 
 def _open(path: str, mode: str):
@@ -172,8 +179,6 @@ def read_batch(paths, n_threads: int = 8):
 def exists(path) -> bool:
     """True if ``path`` is on disk OR its write is still queued (use for
     checkpoint skip-if-exists tests under asynchronous writes)."""
-    import os
-
     from . import volcache
 
     return volcache.pending(path) or os.path.exists(path)
@@ -344,7 +349,8 @@ def _write_payload(path: str, data: np.ndarray, vol: Volume) -> None:
 
     if native.available():
         is_gz = str(path).endswith(".gz")
-        native.write_file(path, payload, gzip_level=6 if is_gz else None)
+        native.write_file(path, payload,
+                          gzip_level=_GZIP_LEVEL if is_gz else None)
         return
     with _open(path, "wb") as f:
         f.write(payload)

@@ -40,6 +40,7 @@ from typing import Callable, Optional
 _CACHE_MB = float(os.environ.get("FT2_VOLCACHE_MB", "1024"))
 _CACHE_ON = os.environ.get("FT2_VOLCACHE", "1") != "0"
 _ASYNC_ON = os.environ.get("FT2_ASYNC_WRITES", "1") != "0"
+_THREADS = int(os.environ.get("FT2_WRITE_THREADS", "4"))
 
 _lock = threading.Lock()
 _entries: "OrderedDict[str, _Entry]" = OrderedDict()
@@ -165,7 +166,7 @@ def _get_executor() -> ThreadPoolExecutor:
     global _executor
     if _executor is None:
         _executor = ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="ft2-volwrite")
+            max_workers=_THREADS, thread_name_prefix="ft2-volwrite")
         atexit.register(_atexit_flush)
     return _executor
 
@@ -192,7 +193,10 @@ def submit_write(path, fn: Callable[[], None]) -> Future:
 
     def run():
         try:
-            fn()
+            from ..utils.profiling import profiler
+
+            with profiler.stage("io.write_worker"):
+                fn()
             mark_written(k)
             fut.set_result(None)
         except Exception as exc:                  # surfaced at flush()
@@ -213,6 +217,17 @@ def pending(path) -> bool:
 
 def flush() -> None:
     """Wait for every queued write; re-raise the first worker error."""
+    from ..utils.profiling import profiler
+
+    with profiler.stage("io.flush_wait"):
+        _flush_inner()
+    if _errors:
+        exc = _errors[0]
+        _errors.clear()
+        raise exc
+
+
+def _flush_inner() -> None:
     while True:
         with _lock:
             items = list(_pending.items())
@@ -226,10 +241,6 @@ def flush() -> None:
             with _lock:                           # don't wait on the worker's
                 if _pending.get(k) is fut:        # finally-block to deregister
                     del _pending[k]
-    if _errors:
-        exc = _errors[0]
-        _errors.clear()
-        raise exc
 
 
 def _atexit_flush() -> None:

@@ -32,6 +32,7 @@ from ..recon.fuse import fuse_orientations
 from ..recon.registration import register_affine, register_rigid
 from ..recon.resample import resample_to_reference, resample_volume
 from ..utils.bids import get_img_path, mk_bids_dir
+from ..utils.profiling import profiler
 
 log = logging.getLogger("fetal_t2mapping_tpu.recon")
 
@@ -92,22 +93,27 @@ def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
                             echotime * 1000, sub, ses, sorted(paths))
                 continue
             otypes = list(paths)
-            imgs: Dict[str, nifti.Volume] = dict(
-                zip(otypes, nifti.read_batch([paths[o] for o in otypes])))
+            with profiler.stage("fuse.read"):
+                imgs: Dict[str, nifti.Volume] = dict(
+                    zip(otypes, nifti.read_batch([paths[o] for o in otypes])))
             log.info("===== Fusion TE %3d ms (%s_%s) =====", int(echotime * 1000), sub, ses)
-            recon = fuse_orientations(imgs, fixed_type,
-                                      registration_kwargs=registration_kwargs)
+            with profiler.stage("fuse.fuse"):
+                recon = fuse_orientations(imgs, fixed_type,
+                                          registration_kwargs=registration_kwargs)
             if first_recon is None:
                 first_recon = recon
             else:
                 # register later echoes onto the first TE's recon (:378-383)
-                reg = register_rigid(first_recon, recon, **(registration_kwargs or {}))
-                recon = resample_to_reference(recon, first_recon,
-                                              transform=reg.matrix_device,
-                                              device=True)
+                with profiler.stage("fuse.reg_echo"):
+                    reg = register_rigid(first_recon, recon, **(registration_kwargs or {}))
+                    recon = resample_to_reference(recon, first_recon,
+                                                  transform=reg.matrix_device,
+                                                  device=True)
             if denoise:
-                recon = denoise_volume(recon)
-            nifti.write_async(out_path, recon, dtype=np.float32)
+                with profiler.stage("fuse.denoise"):
+                    recon = denoise_volume(recon)
+            with profiler.stage("fuse.write"):
+                nifti.write_async(out_path, recon, dtype=np.float32)
             log.info("recon saved: %s", out_path)
 
 

@@ -135,10 +135,34 @@ def process_t2maps(
                 except Exception:
                     log.exception("abandoned prefetch load failed")
             ex.shutdown(wait=True)
-        # queued async map writes land before the API returns (the
-        # filesystem-is-checkpoint contract holds at the boundary)
+        # queued async map writes and plot renders land before the API
+        # returns (the filesystem-is-checkpoint contract at the boundary)
+        _drain_plots()
         nifti.flush_writes()
     return summaries
+
+
+_plot_pool = None
+_plot_futures: list = []
+
+
+def _plot_executor() -> ThreadPoolExecutor:
+    global _plot_pool
+    if _plot_pool is None:
+        _plot_pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="ft2-plots")
+    return _plot_pool
+
+
+def _profiled_plots(*args):
+    with profiler.stage("t2map.plots"):
+        return save_convergence_plots(*args)
+
+
+def _drain_plots() -> None:
+    """Wait for queued convergence-figure renders; re-raise failures."""
+    while _plot_futures:
+        _plot_futures.pop().result()
 
 
 def _fit_one(job: dict, recons, masks, label_vol, bids_path: str,
@@ -168,13 +192,15 @@ def _fit_one(job: dict, recons, masks, label_vol, bids_path: str,
         map_paths = save_nifti_maps(out, bids_path, acq, C.T2MAP_DIRNAME, sim, cfg.model)
 
     if make_plots:
-        with profiler.stage("t2map.plots"):
-            ada_path = set_ada_path(bids_path, prj)
-            m = stack.mask
-            save_convergence_plots(
-                ada_path, out.traces, out.trace_t2,
-                out.n_iter.data[m], out.fun.data[m], out.t2.data[m],
-                sub, ses, sim, cfg.model)
+        # figure rendering is pure host work on already-downloaded arrays
+        # (thread-safe OO matplotlib): queue it on a worker so it overlaps
+        # the next session's load/fit; process_t2maps drains the queue
+        ada_path = set_ada_path(bids_path, prj)
+        m = stack.mask
+        _plot_futures.append(_plot_executor().submit(
+            _profiled_plots, ada_path, out.traces, out.trace_t2,
+            out.n_iter.data[m], out.fun.data[m], out.t2.data[m],
+            sub, ses, sim, cfg.model))
 
     csv_path = None
     if phantom:
