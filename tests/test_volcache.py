@@ -124,6 +124,55 @@ def test_lru_eviction_spares_nothing_needed(tmp_path, monkeypatch):
     assert float(np.asarray(nifti.read(pa).data)[0, 0, 0]) == 1.0
 
 
+def test_concurrent_read_write_flush(tmp_path):
+    """The pipeline's real pattern: a prefetch thread reads paths while the
+    main thread queues writes and stage boundaries flush — no deadlocks,
+    no torn reads, disk ends up consistent."""
+    import threading
+
+    paths = [str(tmp_path / f"v{i}.nii.gz") for i in range(24)]
+    vals = {p: float(i) for i, p in enumerate(paths)}
+    errors = []
+
+    def writer():
+        try:
+            for p in paths:
+                nifti.write_async(p, _vol(vals[p]))
+        except Exception as e:                    # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            for p in paths:
+                for _ in range(50):
+                    if nifti.exists(p):
+                        v = nifti.read(p)
+                        assert float(np.asarray(v.data)[0, 0, 0]) == vals[p]
+                        break
+        except Exception as e:
+            errors.append(e)
+
+    def flusher():
+        try:
+            for _ in range(5):
+                nifti.flush_writes()
+        except Exception as e:                    # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=f)
+               for f in (writer, reader, flusher, reader)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "volcache deadlock"
+    assert not errors, errors
+    nifti.flush_writes()
+    volcache.clear()
+    for p in paths:
+        assert float(np.asarray(nifti.read(p).data)[0, 0, 0]) == vals[p]
+
+
 def test_device_array_roundtrip(tmp_path):
     jnp = pytest.importorskip("jax.numpy")
     p = str(tmp_path / "dev.nii.gz")
