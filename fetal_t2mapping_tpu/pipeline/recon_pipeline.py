@@ -29,7 +29,8 @@ from ..labels.phantom import phantom_labels_from_seeds
 from ..labels.synthseg import SynthSegRunner
 from ..recon.denoise import denoise_volume
 from ..recon.fuse import fuse_orientations
-from ..recon.registration import register_affine, register_rigid
+from ..recon.registration import (register_affine, register_rigid,
+                                  register_rigid_multi)
 from ..recon.resample import resample_to_reference, resample_volume
 from ..utils.bids import get_img_path, mk_bids_dir
 from ..utils.profiling import profiler
@@ -76,6 +77,7 @@ def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
     + TV denoising (reference :359-391)."""
     for (prj, sub, ses), ss_md in metadata.groupby(["prj", "sub", "ses"]):
         first_recon = None
+        later_echoes = []               # fused recons awaiting echo->first reg
         for echotime, te_md in ss_md.groupby("EchoTime"):
             acq = te_md.iloc[0]
             out_path = get_img_path(bids_path, acq, C.RECON_DIRNAME)
@@ -102,13 +104,27 @@ def run_reconstruct_volumes(metadata: pd.DataFrame, bids_path: str, *,
                                           registration_kwargs=registration_kwargs)
             if first_recon is None:
                 first_recon = recon
+                if denoise:
+                    with profiler.stage("fuse.denoise"):
+                        recon = denoise_volume(recon)
+                with profiler.stage("fuse.write"):
+                    nifti.write_async(out_path, recon, dtype=np.float32)
+                log.info("recon saved: %s", out_path)
             else:
-                # register later echoes onto the first TE's recon (:378-383)
-                with profiler.stage("fuse.reg_echo"):
-                    reg = register_rigid(first_recon, recon, **(registration_kwargs or {}))
-                    recon = resample_to_reference(recon, first_recon,
-                                                  transform=reg.matrix_device,
-                                                  device=True)
+                later_echoes.append((out_path, recon))
+        if not later_echoes:
+            continue
+        # register ALL later echoes onto the first TE's recon (:378-383) in
+        # one jitted multi-pair program — the echoes share the fixed image,
+        # so the solves batch instead of running sequentially
+        with profiler.stage("fuse.reg_echo"):
+            regs = register_rigid_multi(first_recon,
+                                        [r for _, r in later_echoes],
+                                        **(registration_kwargs or {}))
+        for (out_path, recon), reg in zip(later_echoes, regs):
+            recon = resample_to_reference(recon, first_recon,
+                                          transform=reg.matrix_device,
+                                          device=True)
             if denoise:
                 with profiler.stage("fuse.denoise"):
                     recon = denoise_volume(recon)

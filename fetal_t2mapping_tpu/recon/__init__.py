@@ -1,5 +1,7 @@
 from .resample import resample_volume, resample_to_reference
-from .registration import register_rigid, register_affine, register_and_resample
+from .registration import (register_rigid, register_affine,
+                           register_rigid_multi, register_affine_multi,
+                           register_and_resample)
 from .fuse import fuse_orientations
 from .denoise import denoise_volume
 
@@ -8,6 +10,8 @@ __all__ = [
     "resample_to_reference",
     "register_rigid",
     "register_affine",
+    "register_rigid_multi",
+    "register_affine_multi",
     "register_and_resample",
     "fuse_orientations",
     "denoise_volume",

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.volume import Volume
-from .registration import RegistrationResult, register_rigid
+from .registration import register_rigid_multi
 from .resample import resample_to_reference
 
 ORIENTATIONS = ("ax", "cor", "sag")
@@ -52,12 +52,15 @@ def fuse_orientations(
     acc = fixed_dev.data
     cov = jnp.ones_like(acc)
 
-    for otype in ORIENTATIONS:
-        if otype == fixed_type:
-            continue
-        mov = imgs[otype]
-        mov_dev = mov.with_data(jnp.asarray(mov.data, jnp.float32))
-        reg: RegistrationResult = register_rigid(fixed_dev, mov_dev, **kwargs)
+    # BOTH moving orientations solve in one jitted multi-level program
+    # (register_rigid_multi): one dispatch for the cor+sag pair, with the
+    # metric gathers and Adam steps batched — the reference runs these as
+    # two sequential Elastix processes (utils/qmri_utils.py:91).
+    moving_types = [o for o in ORIENTATIONS if o != fixed_type]
+    movs = [imgs[o].with_data(jnp.asarray(imgs[o].data, jnp.float32))
+            for o in moving_types]
+    regs = register_rigid_multi(fixed_dev, movs, **kwargs)
+    for mov_dev, reg in zip(movs, regs):
         # device transform: the register->warp->accumulate chain dispatches
         # without a single host sync per orientation
         warped = resample_to_reference(mov_dev, fixed,

@@ -44,7 +44,7 @@ from jax import lax
 
 from ..core.volume import Volume
 from ..ops.filtering import smooth_subsample
-from ..ops.interp import sample_trilinear
+from ..ops.interp import sample_trilinear, sample_trilinear_flat
 from .resample import resample_to_reference
 
 
@@ -151,6 +151,16 @@ def _level_inputs(fixed_vol: Volume, fixed_data, fixed_spacing,
     every registration a fresh jit cache entry and recompile (~15-40 s per
     call on the tunneled chip; observed dominating 'warm' registrations).
     """
+    fixed_pts, fixed_vals = _fixed_level_operands(
+        fixed_vol, fixed_data, fixed_spacing, max_points, mask_level)
+    m_data, m_inv, m_origin = _moving_operands(moving_vol, moving_data,
+                                               moving_spacing)
+    return fixed_pts, fixed_vals, m_data, m_inv, m_origin
+
+
+def _fixed_level_operands(fixed_vol: Volume, fixed_data, fixed_spacing,
+                          max_points: int, mask_level=None):
+    """Fixed-side metric operands (sample points + values) for one level."""
     shape = tuple(int(s) for s in fixed_data.shape)
     A = fixed_vol.direction_matrix @ np.diag(fixed_spacing)   # world from (x,y,z)
     if mask_level is not None:
@@ -179,19 +189,40 @@ def _level_inputs(fixed_vol: Volume, fixed_data, fixed_spacing,
         world = idx[..., ::-1] @ A.T + np.asarray(fixed_vol.origin)
         fixed_pts = jnp.asarray(world.reshape(-1, 3), jnp.float32)
         fixed_vals = fixed_data[::stride, ::stride, ::stride].reshape(-1)
-
-    Mi = np.linalg.inv(moving_vol.direction_matrix @ np.diag(moving_spacing))
-    m_inv = jnp.asarray(Mi.T, jnp.float32)
-    m_origin = jnp.asarray(moving_vol.origin, jnp.float32)
-    return fixed_pts, fixed_vals, moving_data, m_inv, m_origin
+    return fixed_pts, fixed_vals
 
 
 def _make_metric_fn(kind: str, transform_fn, fixed_pts, fixed_vals,
-                    m_data, m_inv, m_origin):
+                    m_data, m_inv, m_origin, m_dims=None, m_sample=None,
+                    m_stats=None):
     """metric(params) -> scalar from traced level operands (trace-time
-    closure INSIDE the jitted driver — no host constants baked in)."""
+    closure INSIDE the jitted driver — no host constants baked in).
+
+    The multi-pair engine overrides three things so P metrics can be
+    vmapped without batching the gather operand:
+
+    - ``m_dims`` (traced (3,) array): the TRUE moving extents when the
+      moving is zero-padded to a shared batch shape — the in-bounds test
+      must use the true extents, and since sampling reads 0 outside the
+      true volume, a padded volume with ``m_dims`` evaluates the metric
+      identically to the unpadded single-pair program;
+    - ``m_sample`` (callable coords -> values): replaces
+      ``sample_trilinear(m_data, coords)`` — the multi path samples from
+      ONE flat buffer of all movings via a per-pair base offset
+      (ops.interp.sample_trilinear_flat), which keeps the gather operand
+      unbatched under vmap (a batched-operand gather is ~1.6x slower on
+      TPU);
+    - ``m_stats`` ((lo, rng) scalars): the moving intensity window for the
+      MI histogram, precomputed per pair outside the vmap (with
+      ``m_sample`` there is no per-pair array here to reduce over).
+    """
     n_bins = 32
-    nz, ny, nx = m_data.shape
+    if m_dims is None:
+        nz, ny, nx = m_data.shape
+    else:
+        nz, ny, nx = m_dims[0], m_dims[1], m_dims[2]
+    if m_sample is None:
+        m_sample = lambda coords: sample_trilinear(m_data, coords)
 
     # histogram-metric precomputation: the FIXED image's soft bin weights
     # are constant across iterations — computed once per trace and hoisted
@@ -206,15 +237,18 @@ def _make_metric_fn(kind: str, transform_fn, fixed_pts, fixed_vals,
         zf = (fixed_vals - f_lo) / f_rng * (n_bins - 1)
         wf = jnp.exp(-0.5 * jnp.square(zf[:, None] - centers[None, :]))
         wf = wf / (jnp.sum(wf, axis=1, keepdims=True) + 1e-12)    # (N, B)
-        m_lo = jnp.min(m_data)
-        m_rng = jnp.maximum(jnp.max(m_data) - m_lo, 1e-6)
+        if m_stats is None:
+            m_lo = jnp.min(m_data)
+            m_rng = jnp.maximum(jnp.max(m_data) - m_lo, 1e-6)
+        else:
+            m_lo, m_rng = m_stats
 
     def metric(params):
         R, offset = transform_fn(params)
         w = fixed_pts @ R.T + offset
         idx_xyz = (w - m_origin) @ m_inv
         coords = idx_xyz[..., ::-1]
-        vals = sample_trilinear(m_data, coords)
+        vals = m_sample(coords)
         inb = (
             (coords[..., 0] >= 0) & (coords[..., 0] <= nz - 1)
             & (coords[..., 1] >= 0) & (coords[..., 1] <= ny - 1)
@@ -332,6 +366,108 @@ def _run_levels(level_ops, center, scale, params0, lr, *, kind: str,
                                  kind=kind, mode=mode, iters=int(iters))
         hist.append(fs)
     return params, tuple(hist)
+
+
+# ---------------------------------------------------- multi-pair optimizer
+def _level_scan_multi(ops, center, scale, params0, lr, *, kind: str,
+                      mode: str, iters: int):
+    """One pyramid level for P pairs sharing ONE fixed image: the per-pair
+    metric+gradient is vmapped over the stacked moving operands, so the P
+    solves advance in lock-step inside a single Adam scan. The fixed-side
+    Parzen precompute does not depend on the batched axis and is computed
+    once (CSE'd by XLA); the MI joint histogram becomes a batched
+    (P,B,N)x(P,N,B) matmul on the MXU."""
+    fixed_pts, fixed_vals, m_data, m_inv, m_origin, m_dims = ops
+    if mode == "rigid":
+        tf = lambda p: _rigid_matrix(p, center, scale)
+    else:
+        tf = lambda p: _affine_matrix(
+            jnp.concatenate([p[:9], p[9:] * _AFFINE_T_SCALE]), center)
+
+    # ONE flat buffer of all P (padded) movings + per-pair base offsets:
+    # under vmap the trilinear gather then stays a plain 1-D gather into an
+    # unbatched operand (vmap widens the index vector P-fold) — batching the
+    # operand instead (vmapped sample_trilinear) lowers to a batched gather
+    # that measured ~1.6x slower per pair than the single-pair program.
+    P = int(m_data.shape[0])
+    block_shape = tuple(int(s) for s in m_data.shape[1:])
+    block = block_shape[0] * block_shape[1] * block_shape[2]
+    m_flat = m_data.reshape(-1)
+    m_base = jnp.arange(P, dtype=jnp.int32) * block
+    m_lo = jnp.min(m_data, axis=(1, 2, 3))
+    m_rng = jnp.maximum(jnp.max(m_data, axis=(1, 2, 3)) - m_lo, 1e-6)
+
+    def value_and_grad_one(params, base, mi, mo, dims, lo, rng):
+        sample = lambda coords: sample_trilinear_flat(
+            m_flat, block_shape, coords, base=base)
+        metric = _make_metric_fn(kind, tf, fixed_pts, fixed_vals, None, mi,
+                                 mo, m_dims=dims, m_sample=sample,
+                                 m_stats=(lo, rng))
+        return jax.value_and_grad(metric)(params)
+
+    grad_all = jax.vmap(value_and_grad_one, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    def body(carry, _):
+        params, m, v, t = carry
+        f, g = grad_all(params, m_base, m_inv, m_origin, m_dims,
+                        m_lo, m_rng)                               # (P,), (P,dof)
+        t = t + 1
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1 - 0.9 ** t)
+        vhat = v / (1 - 0.999 ** t)
+        params = params - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return (params, m, v, t), f
+
+    z = jnp.zeros_like(params0)
+    (params, _, _, _), fs = lax.scan(
+        body, (params0, z, z, jnp.asarray(0, jnp.int32)), None, length=iters)
+    return params, fs                                   # (P,dof), (iters,P)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "mode", "iters_seq"))
+def _run_levels_multi(level_ops, center, scale, params0, lr, *, kind: str,
+                      mode: str, iters_seq: Tuple[int, ...]):
+    """All pyramid levels for P pairs in ONE program (the multi-pair
+    analogue of _run_levels): P registrations cost one dispatch+sync
+    total, and the vmapped gathers/matmuls batch P-fold."""
+    params = params0
+    hist = []
+    for ops, iters in zip(level_ops, iters_seq):
+        params, fs = _level_scan_multi(ops, center, scale, params, lr,
+                                       kind=kind, mode=mode, iters=int(iters))
+        hist.append(fs)
+    return params, tuple(hist)
+
+
+def _moving_operands(moving_vol: Volume, moving_data, moving_spacing):
+    """Moving-side metric operands for one pyramid level (the moving half
+    of _level_inputs)."""
+    Mi = np.linalg.inv(moving_vol.direction_matrix @ np.diag(moving_spacing))
+    return (moving_data, jnp.asarray(Mi.T, jnp.float32),
+            jnp.asarray(moving_vol.origin, jnp.float32))
+
+
+def _stacked_moving_operands(movings, pyramids, level: int):
+    """Stack one pyramid level of every moving volume into batched operands,
+    zero-padding each to the shared max shape. Padding preserves the metric
+    exactly: sample_trilinear reads 0 outside the TRUE volume already, and
+    the per-pair true extents ride along as ``m_dims`` for the in-bounds
+    test."""
+    datas, invs, origins, dims = [], [], [], []
+    for mov, pyr in zip(movings, pyramids):
+        m_dat, m_sp = pyr[level]
+        md, mi, mo = _moving_operands(mov, m_dat, m_sp)
+        datas.append(md)
+        invs.append(mi)
+        origins.append(mo)
+        dims.append(np.asarray(md.shape, np.float32))
+    max_shape = tuple(max(int(d.shape[i]) for d in datas) for i in range(3))
+    datas = [d if tuple(d.shape) == max_shape else jnp.pad(
+        d, [(0, max_shape[i] - d.shape[i]) for i in range(3)])
+        for d in datas]
+    return (jnp.stack(datas), jnp.stack(invs), jnp.stack(origins),
+            jnp.asarray(np.stack(dims)))
 
 
 _AFFINE_T_SCALE = 50.0
@@ -563,6 +699,106 @@ def register_affine(
                                iters_seq=tuple(int(i) for i in iters))
     return RegistrationResult(
         _solve=(params, center, np.float32(1.0), list(hist), "affine"))
+
+
+def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
+                    levels, sigmas, iters, samples, lr, metric,
+                    init_params, fixed_mask):
+    if len(movings) == 0:
+        return []
+    center = np.asarray(fixed.center_world(), np.float32)
+    if mode == "rigid":
+        radius = float(np.linalg.norm(
+            np.asarray(fixed.physical_extent)) / 2.0) or 1.0
+        scale, dof = np.float32(radius), 6
+    else:
+        scale, dof = np.float32(1.0), 12
+    P = len(movings)
+    if init_params is None:
+        params = jnp.zeros((P, dof), jnp.float32)
+    else:
+        params = jnp.asarray(init_params, jnp.float32)
+        if params.shape != (P, dof):
+            raise ValueError(
+                f"init_params shape {params.shape} != ({P}, {dof}) for "
+                f"{P} moving volumes ({mode})")
+    samples = _level_samples(samples, len(levels))
+    if len(sigmas) != len(levels) or len(iters) != len(levels):
+        raise ValueError(
+            f"levels/sigmas/iters lengths differ: {len(levels)}/"
+            f"{len(sigmas)}/{len(iters)}")
+    mask_pyr = _fixed_mask_pyramid(fixed, fixed_mask, levels)
+    f_pyr = _device_pyramid(fixed, levels, sigmas)
+    movings = [m.with_data(jnp.asarray(m.data, jnp.float32)) for m in movings]
+    m_pyrs = [_device_pyramid(m, levels, sigmas) for m in movings]
+    level_ops = []
+    for li, ((f_dat, f_sp), n_smp, mlvl) in enumerate(
+            zip(f_pyr, samples, mask_pyr)):
+        fixed_pts, fixed_vals = _fixed_level_operands(
+            fixed, f_dat, f_sp, int(n_smp), mask_level=mlvl)
+        md, mi, mo, dims = _stacked_moving_operands(movings, m_pyrs, li)
+        level_ops.append((fixed_pts, fixed_vals, md, mi, mo, dims))
+    params, hist = _run_levels_multi(
+        tuple(level_ops), jnp.asarray(center), jnp.asarray(scale), params,
+        jnp.float32(lr), kind=metric, mode=mode,
+        iters_seq=tuple(int(i) for i in iters))
+    return [RegistrationResult(_solve=(params[p], center, scale,
+                                       [h[:, p] for h in hist], mode))
+            for p in range(P)]
+
+
+def register_rigid_multi(
+    fixed: Volume,
+    movings: Sequence[Volume],
+    *,
+    levels: Sequence[int] = (4, 2, 1),
+    sigmas: Sequence[float] = (2.0, 1.0, 0.0),
+    iters: Sequence[int] = (150, 100, 50),
+    samples: "Sequence[int] | None" = None,
+    lr: float = 0.5,
+    metric: str = "ncc",
+    init_params: Optional[np.ndarray] = None,
+    fixed_mask=None,
+) -> "list[RegistrationResult]":
+    """Register P moving volumes onto ONE fixed volume in a single program.
+
+    The batched form of :func:`register_rigid` for the pipeline's
+    multi-pair stages — the reference runs these as separate sequential
+    Elastix processes (cor->ax and sag->ax per echo,
+    utils/qmri_utils.py:91; echo->first-echo, run 359-391's loop) — here
+    the P solves advance in lock-step inside one jitted multi-level Adam
+    scan: one dispatch+sync for all pairs, gathers and MI joint-histogram
+    matmuls batched P-fold. Moving volumes may have different shapes
+    (zero-padded to a shared batch shape; the metric is exactly the
+    single-pair metric, see _make_metric_fn's m_dims).
+
+    ``init_params`` is optionally (P, 6). Returns one
+    :class:`RegistrationResult` per moving volume, device-lazy as usual.
+    """
+    return _register_multi(fixed, movings, mode="rigid", levels=levels,
+                           sigmas=sigmas, iters=iters, samples=samples,
+                           lr=lr, metric=metric, init_params=init_params,
+                           fixed_mask=fixed_mask)
+
+
+def register_affine_multi(
+    fixed: Volume,
+    movings: Sequence[Volume],
+    *,
+    levels: Sequence[int] = (4, 2, 1),
+    sigmas: Sequence[float] = (2.0, 1.0, 0.0),
+    iters: Sequence[int] = (200, 120, 60),
+    samples: "Sequence[int] | None" = None,
+    lr: float = 0.02,
+    metric: str = "ncc",
+    init_params: Optional[np.ndarray] = None,
+    fixed_mask=None,
+) -> "list[RegistrationResult]":
+    """Batched 12-DOF affine registration (see :func:`register_rigid_multi`)."""
+    return _register_multi(fixed, movings, mode="affine", levels=levels,
+                           sigmas=sigmas, iters=iters, samples=samples,
+                           lr=lr, metric=metric, init_params=init_params,
+                           fixed_mask=fixed_mask)
 
 
 def register_and_resample(fixed: Volume, moving: Volume, *, mode: str = "rigid",

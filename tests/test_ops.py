@@ -93,6 +93,22 @@ class TestInterp:
         assert out[1] == vol[2, 0, 0]
         assert out[2] == vol[0, 2, 2]
 
+    def test_trilinear_flat_matches_unflat_per_block(self):
+        """sample_trilinear_flat on a concatenated buffer == sample_trilinear
+        on each block — including out-of-bounds cval and the guarantee that
+        clamped reads never leak into a neighbouring block."""
+        from fetal_t2mapping_tpu.ops.interp import sample_trilinear_flat
+
+        rng = np.random.default_rng(4)
+        blocks = rng.standard_normal((3, 6, 7, 8)).astype(np.float32)
+        flat = blocks.reshape(-1)
+        pts = rng.uniform([-1, -1, -1], [6.5, 7.5, 8.5], size=(400, 3)).astype(np.float32)
+        for p in range(3):
+            ref = np.asarray(sample_trilinear(blocks[p], pts, cval=-3.0))
+            got = np.asarray(sample_trilinear_flat(
+                flat, (6, 7, 8), pts, base=p * 6 * 7 * 8, cval=-3.0))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
     def test_gradient_flows_through_coords(self):
         import jax
         import jax.numpy as jnp
