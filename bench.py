@@ -32,6 +32,7 @@ the fit's achieved exp rate (accepted-step count x T exps — a LOWER bound:
 rejected trial steps also burn exps) against that peak.
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -671,7 +672,10 @@ def run_pipeline_e2e():
                 os.path.join(logs, "log_dcms.csv"), index=False)
             for s_i in range(2):
                 sess = os.path.join(root, "dicom", "2024080610", f"3054000{s_i}")
-                rc = dcm2csv.main(["--path", sess, "--process"])
+                # the CLI's reference-parity progress prints go to stdout;
+                # bench stdout is a JSON-lines contract -> divert to stderr
+                with contextlib.redirect_stdout(sys.stderr):
+                    rc = dcm2csv.main(["--path", sess, "--process"])
                 if rc != 0:
                     raise RuntimeError(f"ingest failed rc={rc}")
 
@@ -685,7 +689,12 @@ def run_pipeline_e2e():
         def run_session(md):
             # stage 2: recon derivatives (fake synthseg; atlas needs FSL
             # assets and self-skips), then stage 3: voxel fit -> maps +
-            # ROI/convergence artifacts
+            # ROI/convergence artifacts. Any in-pipeline progress prints
+            # go to stderr: bench stdout is a JSON-lines contract.
+            with contextlib.redirect_stdout(sys.stderr):
+                return _run_session_inner(md)
+
+        def _run_session_inner(md):
             process_qmri(bids, md, in_vivo=True, low_field=True,
                          synthseg=SynthSegRunner(mode="fake"),
                          registration_kwargs=dict(levels=(2, 1),
