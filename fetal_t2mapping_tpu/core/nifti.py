@@ -143,6 +143,10 @@ def read(path: str) -> Volume:
     cached = volcache.get(path)
     if cached is not None:
         return cached
+    # a queued write_async whose Volume the cache did NOT keep
+    # (FT2_VOLCACHE=0, or over the cache cap): exists() already reports
+    # the path present, so make that true before touching the bytes
+    volcache.wait(path)
     raw = native.read_file(path) if native.available() else None
     if raw is None:
         with _open(path, "rb") as f:
@@ -164,6 +168,8 @@ def read_batch(paths, n_threads: int = 8):
     out = [volcache.get(p) for p in paths]
     misses = [(i, p) for i, p in enumerate(paths) if out[i] is None]
     if misses:
+        for _, p in misses:
+            volcache.wait(p)       # see read(): queued-but-uncached writes
         mpaths = [p for _, p in misses]
         raws = (native.read_batch(mpaths, n_threads)
                 if native.available() else None)
@@ -289,7 +295,11 @@ def write(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> None:
 
     data = _cast_for_disk(vol, dtype)
     volcache.put(path, vol.with_data(data))
-    _write_payload(path, np.asarray(data), vol)
+    try:
+        _write_payload(path, np.asarray(data), vol)
+    except BaseException:
+        volcache.fail_write(path)     # never serve a checkpoint that failed
+        raise
     volcache.mark_written(path)
 
 
@@ -309,7 +319,11 @@ def write_async(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> Non
     geom = vol.with_data(data)
     volcache.put(path, geom)
     if not volcache.async_enabled():
-        _write_payload(path, np.asarray(data), vol)
+        try:
+            _write_payload(path, np.asarray(data), vol)
+        except BaseException:
+            volcache.fail_write(path)
+            raise
         volcache.mark_written(path)
         return
     volcache.submit_write(path, lambda: _write_payload(path, np.asarray(data), vol))

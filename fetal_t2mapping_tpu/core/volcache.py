@@ -57,7 +57,12 @@ class _Entry:
         self.vol = vol
         self.nbytes = nbytes
         self.stat = None       # (st_size, st_mtime_ns) once the write landed
-        self.pending = False   # write queued but not yet on disk
+        self.pending = True    # write in flight (queued OR running inline)
+        # pending starts True: between put() and mark_written() the file is
+        # absent or half-written, so the cached Volume must be served and
+        # the entry must survive. A put() never followed by a write would
+        # pin the entry — every caller (nifti.write/write_async) pairs
+        # put() with mark_written() or fail_write().
 
 
 def _key(path) -> str:
@@ -171,6 +176,14 @@ def _get_executor() -> ThreadPoolExecutor:
     return _executor
 
 
+def fail_write(path) -> None:
+    """Drop ``path``'s cache entry after its write FAILED: the cached
+    Volume would otherwise be served forever for a checkpoint that never
+    landed (``exists`` False, ``read`` succeeding — a phantom), and the
+    permanently-pending entry could never be evicted."""
+    invalidate(path)
+
+
 def submit_write(path, fn: Callable[[], None]) -> Future:
     """Queue ``fn`` (download + encode + write of ``path``) on the writer
     pool.  Serialized per path: an overwrite of a still-queued path waits
@@ -185,9 +198,6 @@ def submit_write(path, fn: Callable[[], None]) -> Future:
 
     fut: Future = Future()
     with _lock:
-        e = _entries.get(k)
-        if e is not None:
-            e.pending = True
         _pending[k] = fut                         # registered BEFORE the
                                                   # worker can complete it
 
@@ -200,6 +210,7 @@ def submit_write(path, fn: Callable[[], None]) -> Future:
             mark_written(k)
             fut.set_result(None)
         except Exception as exc:                  # surfaced at flush()
+            fail_write(k)
             _errors.append(exc)
             fut.set_exception(exc)
         finally:
@@ -209,6 +220,19 @@ def submit_write(path, fn: Callable[[], None]) -> Future:
 
     _get_executor().submit(run)
     return fut
+
+
+def wait(path) -> None:
+    """Block until ``path``'s in-flight write (if any) completes.
+
+    Lets a filesystem read of a queued-but-uncached path (FT2_VOLCACHE=0,
+    or a Volume over the cache cap) see the full file instead of racing
+    the writer: ``exists`` reports pending paths as present, so ``read``
+    must be able to make that true before touching the bytes.  Raises the
+    write's error, if it failed (the path genuinely does not exist)."""
+    fut = _pending.get(_key(path))
+    if fut is not None:
+        fut.result()
 
 
 def pending(path) -> bool:

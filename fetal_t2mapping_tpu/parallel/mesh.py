@@ -96,6 +96,10 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
     te_t, lo_t, hi_t, guess_t = validate_fused_args(model, te, lo, hi, guess,
                                                     no_prior)
     tail_block = resolve_tail_block(tail_block, model)
+    if tail_block < 1 or 128 % tail_block:
+        # same contract as fit_fused — validated here so a bad value fails
+        # with this message, not an opaque XLA shape error inside shard_map
+        raise ValueError(f"tail_block must divide 128; got {tail_block}")
     impl = functools.partial(
         _fit_fused_impl, model=model, te=te_t,
         lo=lo_t, hi=hi_t, guess=guess_t,

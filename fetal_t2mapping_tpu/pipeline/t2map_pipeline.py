@@ -136,9 +136,12 @@ def process_t2maps(
                     log.exception("abandoned prefetch load failed")
             ex.shutdown(wait=True)
         # queued async map writes and plot renders land before the API
-        # returns (the filesystem-is-checkpoint contract at the boundary)
-        _drain_plots()
-        nifti.flush_writes()
+        # returns (the filesystem-is-checkpoint contract at the boundary);
+        # a plot-render failure must not skip the map-write flush
+        try:
+            _drain_plots()
+        finally:
+            nifti.flush_writes()
     return summaries
 
 
@@ -160,9 +163,17 @@ def _profiled_plots(*args):
 
 
 def _drain_plots() -> None:
-    """Wait for queued convergence-figure renders; re-raise failures."""
+    """Wait for EVERY queued convergence-figure render, then re-raise the
+    first failure (raising on the first would abandon the rest queued)."""
+    first_exc = None
     while _plot_futures:
-        _plot_futures.pop().result()
+        try:
+            _plot_futures.pop().result()
+        except Exception as exc:
+            if first_exc is None:
+                first_exc = exc
+    if first_exc is not None:
+        raise first_exc
 
 
 def _fit_one(job: dict, recons, masks, label_vol, bids_path: str,

@@ -479,6 +479,7 @@ def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
     samples = int(ds_elements.get((0x0028, 0x0002)) or 1)
     if not rows or not cols:
         raise InvalidDicomError(f"{path}: compressed PixelData without Rows/Columns")
+    first_stream = None
     if ts in _TS_JPEGLL + _TS_J2K + _TS_JPEG_LOSSY:
         if ts in _TS_JPEGLL:
             streams, decode = _jpegll_frame_streams, _jpegll_decode_stream
@@ -495,6 +496,8 @@ def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
             want = np.int8 if pixrep else np.uint8
         frames = []
         for stream in streams(enc.fragments):
+            if first_stream is None:
+                first_stream = stream
             arr = decode(stream, path)
             fr, fc = arr.shape[:2]
             fs = arr.shape[2] if arr.ndim == 3 else 1
@@ -510,10 +513,14 @@ def _decode_encapsulated(ds_elements: Dict, ts: str, path: str) -> None:
     stacked = frames[0] if len(frames) == 1 else np.stack(frames)
     ds_elements[_STOP_TAG] = np.ascontiguousarray(stacked).astype(
         stacked.dtype.newbyteorder("<")).tobytes()
-    if ts in _TS_JPEG_LOSSY and samples > 1:
-        # PIL hands back RGB-converted pixels for YBR-coded lossy streams;
-        # rewrite PhotometricInterpretation so a consumer honoring it does
-        # not color-convert a second time
+    if (ts in _TS_JPEG_LOSSY and samples > 1
+            and first_stream is not None
+            and _jpeg_stream_precision(first_stream) <= 8):
+        # PIL hands back RGB-converted pixels for YBR-coded 8-bit lossy
+        # streams; rewrite PhotometricInterpretation so a consumer honoring
+        # it does not color-convert a second time. 12-bit (.4.51) streams
+        # go through the in-repo DCT codec (utils/jpegdct.py), which
+        # returns the coded planes UNconverted — their tag stays truthful.
         ds_elements[(0x0028, 0x0004)] = "RGB"
 
 

@@ -230,3 +230,17 @@ class TestAdversarialSharding:
         got = np.asarray(res_8.t2)[ident]
         rel = np.abs(got - t2[ident]) / t2[ident]
         assert np.median(rel) < 2e-2
+
+
+def test_fit_fused_sharded_rejects_bad_tail_block():
+    """Same clear contract error as fit_fused — not an opaque XLA shape
+    failure deep inside the shard_mapped program."""
+    import pytest
+
+    from fetal_t2mapping_tpu.parallel.mesh import fit_fused_sharded, voxel_mesh
+
+    sig = np.ones((128, 3), np.float32)
+    with pytest.raises(ValueError, match="tail_block must divide 128"):
+        fit_fused_sharded(sig, (114.0, 202.0, 299.0), (0.0, 10.0),
+                          (1e6, 2000.0), voxel_mesh(), model="gaussian",
+                          strategy="twophase", tail_block=12)

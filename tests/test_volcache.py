@@ -184,3 +184,64 @@ def test_device_array_roundtrip(tmp_path):
     nifti.flush_writes()
     volcache.clear()
     np.testing.assert_array_equal(np.asarray(nifti.read(p).data), host)
+
+
+def test_failed_async_write_drops_cache_entry(tmp_path):
+    """A write that never landed must not be served as a phantom checkpoint:
+    after the worker fails, read() raises (no file, no cache) and exists()
+    is False — and the entry is not pinned in the cache forever."""
+    p = str(tmp_path / "missing_dir" / "x.nii.gz")
+    nifti.write_async(p, _vol(4.0))
+    with pytest.raises(Exception):
+        nifti.flush_writes()
+    assert not nifti.exists(p)
+    assert volcache.get(p) is None
+    with pytest.raises(Exception):
+        nifti.read(p)
+
+
+def test_failed_sync_write_drops_cache_entry(tmp_path, monkeypatch):
+    monkeypatch.setattr(volcache, "_ASYNC_ON", False)
+    p = str(tmp_path / "missing_dir" / "y.nii.gz")
+    with pytest.raises(Exception):
+        nifti.write(p, _vol(4.0))
+    assert volcache.get(p) is None
+    assert not nifti.exists(p)
+
+
+def test_async_write_readable_when_cache_disabled(tmp_path, monkeypatch):
+    """FT2_VOLCACHE=0 with async writes on: exists() reports the queued
+    path, and read() must block on the in-flight write instead of racing
+    it to the filesystem."""
+    monkeypatch.setattr(volcache, "_CACHE_ON", False)
+    p = str(tmp_path / "nc.nii.gz")
+    v = _vol(7.0)
+    nifti.write_async(p, v)
+    assert nifti.exists(p)
+    r = nifti.read(p)                        # must not FileNotFoundError
+    np.testing.assert_array_equal(np.asarray(r.data), np.asarray(v.data))
+    nifti.flush_writes()
+
+
+def test_oversize_volume_still_readable_while_queued(tmp_path, monkeypatch):
+    """A Volume over the cache cap is write_async'd but never cached: read
+    during the in-flight window must wait for the writer, not race it."""
+    monkeypatch.setattr(volcache, "_CACHE_MB", 0.001)   # 1 KB cap
+    p = str(tmp_path / "big.nii.gz")
+    v = _vol(5.0, shape=(16, 16, 16))                   # 16 KB > cap
+    nifti.write_async(p, v)
+    assert volcache.get(p) is None                      # not cached
+    r = nifti.read(p)
+    np.testing.assert_array_equal(np.asarray(r.data), np.asarray(v.data))
+
+
+def test_entry_pending_until_marked_written(tmp_path):
+    """Between put() and mark_written() the file is absent/half-written:
+    get() must serve the cached Volume (not pop the entry and send the
+    reader to a torn file)."""
+    p = str(tmp_path / "pend.nii.gz")
+    v = _vol(9.0)
+    volcache.put(p, v)                        # write not yet landed
+    assert volcache.get(p) is v or volcache.get(p) is not None
+    assert volcache.get(p) is not None        # entry survived the reads
+    volcache.invalidate(p)
