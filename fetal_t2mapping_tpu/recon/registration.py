@@ -327,19 +327,96 @@ def _level_scan(ops, center, scale, params0, lr, *, kind: str, mode: str,
 
     def body(carry, _):
         params, m, v, t = carry
-        f, g = grad_fn(params)
         t = t + 1
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mhat = m / (1 - 0.9 ** t)
-        vhat = v / (1 - 0.999 ** t)
-        params = params - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        f, params, m, v = _adam_step(grad_fn, params, m, v, t, lr)
         return (params, m, v, t), f
 
     z = jnp.zeros_like(params0)
     (params, _, _, _), fs = lax.scan(
         body, (params0, z, z, jnp.asarray(0, jnp.int32)), None, length=iters)
     return params, fs
+
+
+def _adam_step(grad_fn, params, m, v, t, lr):
+    """One Adam(0.9, 0.999) step; ``t`` is the POST-increment step index
+    (bias correction matches the scan body's t-after-increment)."""
+    f, g = grad_fn(params)
+    m = 0.9 * m + 0.1 * g
+    v = 0.999 * v + 0.001 * g * g
+    mhat = m / (1 - 0.9 ** t)
+    vhat = v / (1 - 0.999 ** t)
+    params = params - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    return f, params, m, v
+
+
+def _best_improved(f, best_f, f0, stop_tol):
+    """Did this iterate meaningfully improve on the best so far? An
+    improvement counts once it exceeds ``stop_tol`` of the level's total
+    descent (f0 - best) — sub-0.1%%-of-descent wiggle is plateau noise.
+    The descent is floored at 1%% of the metric's own magnitude: a level
+    entered already-converged (fine level after a good coarse solve) has
+    near-zero descent, and without the floor every fp wiggle would count
+    as progress and the level would run its full budget. The early-exit
+    optimizers stop a level once ``stop_window`` iterations pass without
+    an improvement (measured: 99.9%% of a 192^3 rigid solve's descent
+    lands by iter ~52/65/29 of the 150/100/50 budgets — about half the
+    full-budget wall time is plateau). Progress is measured against the
+    BEST iterate, not the trailing window of raw values: Adam's O(lr)
+    steps make the raw metric wander, and a slow genuine descent under
+    that wander would read as "no recent descent" and stop at the minimum
+    window."""
+    scale = jnp.maximum(f0 - best_f, 0.01 * jnp.abs(best_f))
+    return f < best_f - stop_tol * jnp.maximum(scale, 1e-12)
+
+
+def _level_while(ops, center, scale, params0, lr, *, kind: str, mode: str,
+                 iters: int, stop_tol, stop_window):
+    """_level_scan with a plateau early exit (lax.while_loop): identical
+    Adam sequence while running, stops once ``stop_window`` iterations
+    pass without a meaningful new best metric (see _best_improved). The
+    metric history keeps its static (iters,) shape — the tail past the
+    stop reads as the returned iterate's metric — and the number of
+    iterations actually executed is returned for diagnostics."""
+    fixed_pts, fixed_vals, m_data, m_inv, m_origin = ops
+    if mode == "rigid":
+        tf = lambda p: _rigid_matrix(p, center, scale)
+    else:
+        tf = lambda p: _affine_matrix(
+            jnp.concatenate([p[:9], p[9:] * _AFFINE_T_SCALE]), center)
+    metric = _make_metric_fn(kind, tf, fixed_pts, fixed_vals, m_data,
+                             m_inv, m_origin)
+    grad_fn = jax.value_and_grad(metric)
+
+    def cond(carry):
+        return carry[-1] & (carry[3] < iters)
+
+    def body(carry):
+        params, m, v, t, hist, best_f, best_p, t_best, _ = carry
+        t1 = t + 1
+        f, new_params, m, v = _adam_step(grad_fn, params, m, v, t1, lr)
+        hist = hist.at[t].set(f)
+        # track the best iterate: a warm start AT the optimum makes Adam
+        # wander (mhat/sqrt(vhat) is O(1) even for vanishing gradients) —
+        # return where the metric was best, not wherever the walk ended
+        t_best = jnp.where(_best_improved(f, best_f, hist[0], stop_tol),
+                           t1, t_best)
+        better = f < best_f
+        best_f = jnp.where(better, f, best_f)
+        best_p = jnp.where(better, params, best_p)
+        running = (t1 - t_best) < stop_window
+        return new_params, m, v, t1, hist, best_f, best_p, t_best, running
+
+    z = jnp.zeros_like(params0)
+    hist0 = jnp.zeros((iters,), jnp.float32)
+    _, _, _, t_end, hist, best_f, best_p, _, _ = lax.while_loop(
+        cond, body, (params0, z, z, jnp.asarray(0, jnp.int32), hist0,
+                     jnp.asarray(jnp.inf, jnp.float32), params0,
+                     jnp.asarray(0, jnp.int32), jnp.asarray(True)))
+    # the tail past the stop reads as the metric of the RETURNED iterate;
+    # best_f itself also rides back so final_metric can describe best_p
+    # even when the budget ran out with the walk away from it
+    hist = jnp.where(jnp.arange(iters) >= t_end, best_f, hist)
+    return best_p, hist, t_end, best_f
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "mode", "iters"))
@@ -368,34 +445,48 @@ def _run_levels(level_ops, center, scale, params0, lr, *, kind: str,
     return params, tuple(hist)
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "mode", "iters_seq"))
+def _run_levels_early(level_ops, center, scale, params0, lr, stop_tol,
+                      stop_window, *, kind: str, mode: str,
+                      iters_seq: Tuple[int, ...]):
+    """_run_levels with the plateau early exit per level (still one
+    program); also returns the per-level executed-iteration counts."""
+    params = params0
+    hist, n_exec, best_f = [], [], None
+    for ops, iters in zip(level_ops, iters_seq):
+        params, fs, t_end, best_f = _level_while(
+            ops, center, scale, params, lr, kind=kind, mode=mode,
+            iters=int(iters), stop_tol=stop_tol, stop_window=stop_window)
+        hist.append(fs)
+        n_exec.append(t_end)
+    return params, tuple(hist), tuple(n_exec), best_f
+
+
 # ---------------------------------------------------- multi-pair optimizer
-def _level_scan_multi(ops, center, scale, params0, lr, *, kind: str,
-                      mode: str, iters: int):
-    """One pyramid level for P pairs sharing ONE fixed image: the per-pair
-    metric+gradient is vmapped over the stacked moving operands, so the P
-    solves advance in lock-step inside a single Adam scan. The fixed-side
-    Parzen precompute does not depend on the batched axis and is computed
-    once (CSE'd by XLA); the MI joint histogram becomes a batched
-    (P,B,N)x(P,N,B) matmul on the MXU."""
-    fixed_pts, fixed_vals, m_data, m_inv, m_origin, m_dims = ops
+def _multi_grad_fn(ops, center, scale, *, kind: str, mode: str):
+    """Batched metric value+grad for P pairs sharing ONE fixed image: the
+    per-pair metric is vmapped over the stacked moving operands. The
+    fixed-side Parzen precompute does not depend on the batched axis and
+    is computed once (CSE'd by XLA); the MI joint histogram becomes a
+    batched (P,B,N)x(P,N,B) matmul on the MXU.
+
+    The movings live in ONE flat buffer with per-pair base offsets: under
+    vmap the trilinear gather then stays a plain 1-D gather into an
+    unbatched operand (vmap widens the index vector P-fold) — batching the
+    operand instead (vmapped sample_trilinear) lowers to a batched gather
+    that measured ~1.6x slower per pair than the single-pair program."""
+    fixed_pts, fixed_vals, m_data, m_inv, m_origin, m_dims, m_lo, m_rng = ops
     if mode == "rigid":
         tf = lambda p: _rigid_matrix(p, center, scale)
     else:
         tf = lambda p: _affine_matrix(
             jnp.concatenate([p[:9], p[9:] * _AFFINE_T_SCALE]), center)
 
-    # ONE flat buffer of all P (padded) movings + per-pair base offsets:
-    # under vmap the trilinear gather then stays a plain 1-D gather into an
-    # unbatched operand (vmap widens the index vector P-fold) — batching the
-    # operand instead (vmapped sample_trilinear) lowers to a batched gather
-    # that measured ~1.6x slower per pair than the single-pair program.
     P = int(m_data.shape[0])
     block_shape = tuple(int(s) for s in m_data.shape[1:])
     block = block_shape[0] * block_shape[1] * block_shape[2]
     m_flat = m_data.reshape(-1)
     m_base = jnp.arange(P, dtype=jnp.int32) * block
-    m_lo = jnp.min(m_data, axis=(1, 2, 3))
-    m_rng = jnp.maximum(jnp.max(m_data, axis=(1, 2, 3)) - m_lo, 1e-6)
 
     def value_and_grad_one(params, base, mi, mo, dims, lo, rng):
         sample = lambda coords: sample_trilinear_flat(
@@ -406,23 +497,64 @@ def _level_scan_multi(ops, center, scale, params0, lr, *, kind: str,
         return jax.value_and_grad(metric)(params)
 
     grad_all = jax.vmap(value_and_grad_one, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    return lambda params: grad_all(params, m_base, m_inv, m_origin, m_dims,
+                                   m_lo, m_rng)        # (P,), (P, dof)
+
+
+def _level_scan_multi(ops, center, scale, params0, lr, *, kind: str,
+                      mode: str, iters: int):
+    """One pyramid level for P pairs in a single lock-step Adam scan."""
+    grad_fn = _multi_grad_fn(ops, center, scale, kind=kind, mode=mode)
 
     def body(carry, _):
         params, m, v, t = carry
-        f, g = grad_all(params, m_base, m_inv, m_origin, m_dims,
-                        m_lo, m_rng)                               # (P,), (P,dof)
         t = t + 1
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mhat = m / (1 - 0.9 ** t)
-        vhat = v / (1 - 0.999 ** t)
-        params = params - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        f, params, m, v = _adam_step(grad_fn, params, m, v, t, lr)
         return (params, m, v, t), f
 
     z = jnp.zeros_like(params0)
     (params, _, _, _), fs = lax.scan(
         body, (params0, z, z, jnp.asarray(0, jnp.int32)), None, length=iters)
     return params, fs                                   # (P,dof), (iters,P)
+
+
+def _level_while_multi(ops, center, scale, params0, lr, *, kind: str,
+                       mode: str, iters: int, stop_tol, stop_window):
+    """_level_scan_multi with the plateau early exit: the level stops when
+    EVERY pair has gone ``stop_window`` iterations without a meaningful
+    new best (pairs that plateau first keep lock-stepping — extra polish,
+    never harm)."""
+    grad_fn = _multi_grad_fn(ops, center, scale, kind=kind, mode=mode)
+    P = int(params0.shape[0])
+
+    def cond(carry):
+        return carry[-1] & (carry[3] < iters)
+
+    def body(carry):
+        params, m, v, t, hist, best_f, best_p, t_best, _ = carry
+        t1 = t + 1
+        f, new_params, m, v = _adam_step(grad_fn, params, m, v, t1, lr)  # f: (P,)
+        hist = hist.at[t].set(f)
+        t_best = jnp.where(_best_improved(f, best_f, hist[0], stop_tol),
+                           t1, t_best)            # per-pair
+        better = f < best_f                       # per-pair best iterate
+        best_f = jnp.where(better, f, best_f)
+        best_p = jnp.where(better[:, None], params, best_p)
+        # the level runs until EVERY pair has gone stop_window iterations
+        # without a meaningful new best (plateaued pairs keep lock-stepping
+        # — extra polish, never harm)
+        running = jnp.any((t1 - t_best) < stop_window)
+        return new_params, m, v, t1, hist, best_f, best_p, t_best, running
+
+    z = jnp.zeros_like(params0)
+    hist0 = jnp.zeros((iters, P), jnp.float32)
+    _, _, _, t_end, hist, best_f, best_p, _, _ = lax.while_loop(
+        cond, body, (params0, z, z, jnp.asarray(0, jnp.int32), hist0,
+                     jnp.full((P,), jnp.inf, jnp.float32), params0,
+                     jnp.zeros((P,), jnp.int32), jnp.asarray(True)))
+    hist = jnp.where(jnp.arange(iters)[:, None] >= t_end, best_f[None, :],
+                     hist)
+    return best_p, hist, t_end, best_f
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "mode", "iters_seq"))
@@ -440,6 +572,22 @@ def _run_levels_multi(level_ops, center, scale, params0, lr, *, kind: str,
     return params, tuple(hist)
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "mode", "iters_seq"))
+def _run_levels_multi_early(level_ops, center, scale, params0, lr, stop_tol,
+                            stop_window, *, kind: str, mode: str,
+                            iters_seq: Tuple[int, ...]):
+    """_run_levels_multi with the plateau early exit per level."""
+    params = params0
+    hist, n_exec, best_f = [], [], None
+    for ops, iters in zip(level_ops, iters_seq):
+        params, fs, t_end, best_f = _level_while_multi(
+            ops, center, scale, params, lr, kind=kind, mode=mode,
+            iters=int(iters), stop_tol=stop_tol, stop_window=stop_window)
+        hist.append(fs)
+        n_exec.append(t_end)
+    return params, tuple(hist), tuple(n_exec), best_f
+
+
 def _moving_operands(moving_vol: Volume, moving_data, moving_spacing):
     """Moving-side metric operands for one pyramid level (the moving half
     of _level_inputs)."""
@@ -451,10 +599,13 @@ def _moving_operands(moving_vol: Volume, moving_data, moving_spacing):
 def _stacked_moving_operands(movings, pyramids, level: int):
     """Stack one pyramid level of every moving volume into batched operands,
     zero-padding each to the shared max shape. Padding preserves the metric
-    exactly: sample_trilinear reads 0 outside the TRUE volume already, and
-    the per-pair true extents ride along as ``m_dims`` for the in-bounds
-    test."""
-    datas, invs, origins, dims = [], [], [], []
+    exactly: sampling reads 0 outside the TRUE volume already, the per-pair
+    true extents ride along as ``m_dims`` for the in-bounds test, and the
+    MI intensity window (lo, rng) is reduced over each UNPADDED volume here
+    — a min over the padded stack would clamp to 0 for any moving whose
+    true minimum is positive, redistributing its Parzen bins away from the
+    single-pair metric's."""
+    datas, invs, origins, dims, los, rngs = [], [], [], [], [], []
     for mov, pyr in zip(movings, pyramids):
         m_dat, m_sp = pyr[level]
         md, mi, mo = _moving_operands(mov, m_dat, m_sp)
@@ -462,12 +613,15 @@ def _stacked_moving_operands(movings, pyramids, level: int):
         invs.append(mi)
         origins.append(mo)
         dims.append(np.asarray(md.shape, np.float32))
+        lo = jnp.min(md)
+        los.append(lo)
+        rngs.append(jnp.maximum(jnp.max(md) - lo, 1e-6))
     max_shape = tuple(max(int(d.shape[i]) for d in datas) for i in range(3))
     datas = [d if tuple(d.shape) == max_shape else jnp.pad(
         d, [(0, max_shape[i] - d.shape[i]) for i in range(3)])
         for d in datas]
     return (jnp.stack(datas), jnp.stack(invs), jnp.stack(origins),
-            jnp.asarray(np.stack(dims)))
+            jnp.asarray(np.stack(dims)), jnp.stack(los), jnp.stack(rngs))
 
 
 _AFFINE_T_SCALE = 50.0
@@ -547,7 +701,8 @@ class RegistrationResult:
         self._solve = _solve
 
     def _matrix_from_params(self, p):
-        _, center, scale, _, mode = self._solve
+        center, scale, mode = (self._solve[1], self._solve[2],
+                               self._solve[4])
         if mode == "rigid":
             R, offset = _rigid_matrix(p, center, scale)
         else:
@@ -585,7 +740,13 @@ class RegistrationResult:
     @property
     def final_metric(self) -> float:
         if self._final_metric is None:
-            self._final_metric = float(self.metric_history[-1])
+            if (self._solve is not None and len(self._solve) > 6
+                    and self._solve[6] is not None):
+                # early-exit solve: the metric of the RETURNED (best)
+                # iterate, which the raw history's last entry need not be
+                self._final_metric = float(np.asarray(self._solve[6]))
+            else:
+                self._final_metric = float(self.metric_history[-1])
         return self._final_metric
 
     @property
@@ -602,8 +763,56 @@ class RegistrationResult:
         next echo of the same subject, which shares most of the motion);
         prefer ``params_device`` in device-chained callers."""
         if self._params is None:
-            self._params = np.asarray(self._solve[0], np.float32)
+            if self._solve is None:
+                # host-field-only construction (matrix/metrics given, no
+                # solve attached): the pre-device-lazy dataclass defaulted
+                # params to an empty vector — keep that contract
+                self._params = np.zeros(0, np.float32)
+            else:
+                self._params = np.asarray(self._solve[0], np.float32)
         return self._params
+
+    @property
+    def iters_run(self):
+        """Per-level iteration counts the early-exit optimizer executed
+        (np.ndarray), or None when the fixed-budget path ran (stop_tol=None
+        or a host-field-only result). Syncs on first access."""
+        if self._solve is None or len(self._solve) < 6 or self._solve[5] is None:
+            return None
+        return np.asarray([int(t) for t in self._solve[5]])
+
+
+def _resolve_stop_window(stop_window, metric: str) -> int:
+    """None -> per-metric patience: the histogram metrics (mi/cr) descend
+    noisily and need a longer no-new-best window before stopping (measured
+    on the cross-contrast suite: window 20 leaves CR at 0.023 rad where 40
+    reaches the full-budget 0.012); ncc/mse plateau cleanly at 20."""
+    if stop_window is None:
+        return 40 if metric in ("mi", "cr") else 20
+    return int(stop_window)
+
+
+def _solve_levels(runner_plain, runner_early, level_ops, center, scale,
+                  params, lr, *, kind, mode, iters_seq, stop_tol,
+                  stop_window):
+    """Dispatch to the fixed-budget or the plateau-early-exit optimizer.
+
+    ``stop_tol=None`` runs the exact fixed-budget scan; otherwise each
+    level stops once ``stop_window`` iterations pass without the best
+    metric improving by more than ``stop_tol`` of the total descent
+    (default 1e-3: the measured 99.9%%-descent points sit at ~1/3-2/3 of
+    the default budgets, so the plateau tail is pure wall time), and the
+    BEST iterate is returned. Both are single compiled programs;
+    tol/window ride as traced scalars so tuning them never recompiles."""
+    if stop_tol is None:
+        p, hist = runner_plain(level_ops, center, scale, params, lr,
+                               kind=kind, mode=mode, iters_seq=iters_seq)
+        return p, hist, None, None
+    p, hist, n_exec, final_f = runner_early(
+        level_ops, center, scale, params, lr, jnp.float32(stop_tol),
+        jnp.asarray(_resolve_stop_window(stop_window, kind), jnp.int32),
+        kind=kind, mode=mode, iters_seq=iters_seq)
+    return p, hist, n_exec, final_f
 
 
 def register_rigid(
@@ -618,6 +827,8 @@ def register_rigid(
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
     fixed_mask=None,
+    stop_tol: "float | None" = 1e-3,
+    stop_window: "int | None" = None,
 ) -> RegistrationResult:
     """6-DOF rigid registration of ``moving`` onto ``fixed``.
 
@@ -629,6 +840,10 @@ def register_rigid(
     the reference's ``build_mask`` :223-252). Essential when structures
     outside the target (e.g. maternal tissue around a fetal brain) move
     independently of it.
+
+    ``stop_tol`` enables the per-level plateau early exit (see
+    :func:`_solve_levels`; ``None`` restores the exact fixed-budget
+    optimizer). ``iters`` stays the hard per-level budget either way.
     """
     center = np.asarray(fixed.center_world(), np.float32)
     radius = float(np.linalg.norm(np.asarray(fixed.physical_extent)) / 2.0) or 1.0
@@ -648,12 +863,15 @@ def register_rigid(
                       max_points=int(n_smp), mask_level=mlvl)
         for (f_dat, f_sp), (m_dat, m_sp), n_smp, mlvl
         in zip(f_pyr, m_pyr, samples, mask_pyr))
-    params, hist = _run_levels(level_ops, jnp.asarray(center),
-                               jnp.asarray(scale), params, jnp.float32(lr),
-                               kind=metric, mode="rigid",
-                               iters_seq=tuple(int(i) for i in iters))
+    params, hist, n_exec, final_f = _solve_levels(
+        _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
+        jnp.asarray(scale), params, jnp.float32(lr), kind=metric,
+        mode="rigid", iters_seq=tuple(int(i) for i in iters),
+        stop_tol=stop_tol, stop_window=stop_window)
     # device-lazy result: nothing syncs until a host field is touched
-    return RegistrationResult(_solve=(params, center, scale, list(hist), "rigid"))
+    return RegistrationResult(
+        _solve=(params, center, scale, list(hist), "rigid", n_exec,
+                final_f))
 
 
 def register_affine(
@@ -668,12 +886,15 @@ def register_affine(
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
     fixed_mask=None,
+    stop_tol: "float | None" = 1e-3,
+    stop_window: "int | None" = None,
 ) -> RegistrationResult:
     """12-DOF affine registration (the FLIRT replacement).
 
     The 9 matrix entries are optimized as perturbations of identity with a
     small lr (dimensionless), translations ride the same Adam scaling.
-    ``fixed_mask`` restricts the metric to fixed-image mask voxels (see
+    ``fixed_mask`` restricts the metric to fixed-image mask voxels and
+    ``stop_tol``/``stop_window`` control the plateau early exit (see
     :func:`register_rigid`).
     """
     center = np.asarray(fixed.center_world(), np.float32)
@@ -692,18 +913,20 @@ def register_affine(
                       max_points=int(n_smp), mask_level=mlvl)
         for (f_dat, f_sp), (m_dat, m_sp), n_smp, mlvl
         in zip(f_pyr, m_pyr, samples, mask_pyr))
-    params, hist = _run_levels(level_ops, jnp.asarray(center),
-                               jnp.float32(1.0),  # scale unused in affine
-                               params, jnp.float32(lr), kind=metric,
-                               mode="affine",
-                               iters_seq=tuple(int(i) for i in iters))
+    params, hist, n_exec, final_f = _solve_levels(
+        _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
+        jnp.float32(1.0),  # scale unused in affine
+        params, jnp.float32(lr), kind=metric, mode="affine",
+        iters_seq=tuple(int(i) for i in iters),
+        stop_tol=stop_tol, stop_window=stop_window)
     return RegistrationResult(
-        _solve=(params, center, np.float32(1.0), list(hist), "affine"))
+        _solve=(params, center, np.float32(1.0), list(hist), "affine",
+                n_exec, final_f))
 
 
 def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
                     levels, sigmas, iters, samples, lr, metric,
-                    init_params, fixed_mask):
+                    init_params, fixed_mask, stop_tol, stop_window):
     if len(movings) == 0:
         return []
     center = np.asarray(fixed.center_world(), np.float32)
@@ -736,14 +959,18 @@ def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
             zip(f_pyr, samples, mask_pyr)):
         fixed_pts, fixed_vals = _fixed_level_operands(
             fixed, f_dat, f_sp, int(n_smp), mask_level=mlvl)
-        md, mi, mo, dims = _stacked_moving_operands(movings, m_pyrs, li)
-        level_ops.append((fixed_pts, fixed_vals, md, mi, mo, dims))
-    params, hist = _run_levels_multi(
-        tuple(level_ops), jnp.asarray(center), jnp.asarray(scale), params,
-        jnp.float32(lr), kind=metric, mode=mode,
-        iters_seq=tuple(int(i) for i in iters))
+        level_ops.append((fixed_pts, fixed_vals)
+                         + _stacked_moving_operands(movings, m_pyrs, li))
+    params, hist, n_exec, final_f = _solve_levels(
+        _run_levels_multi, _run_levels_multi_early, tuple(level_ops),
+        jnp.asarray(center), jnp.asarray(scale), params, jnp.float32(lr),
+        kind=metric, mode=mode, iters_seq=tuple(int(i) for i in iters),
+        stop_tol=stop_tol, stop_window=stop_window)
     return [RegistrationResult(_solve=(params[p], center, scale,
-                                       [h[:, p] for h in hist], mode))
+                                       [h[:, p] for h in hist], mode,
+                                       n_exec,
+                                       None if final_f is None
+                                       else final_f[p]))
             for p in range(P)]
 
 
@@ -759,6 +986,8 @@ def register_rigid_multi(
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
     fixed_mask=None,
+    stop_tol: "float | None" = 1e-3,
+    stop_window: "int | None" = None,
 ) -> "list[RegistrationResult]":
     """Register P moving volumes onto ONE fixed volume in a single program.
 
@@ -778,7 +1007,8 @@ def register_rigid_multi(
     return _register_multi(fixed, movings, mode="rigid", levels=levels,
                            sigmas=sigmas, iters=iters, samples=samples,
                            lr=lr, metric=metric, init_params=init_params,
-                           fixed_mask=fixed_mask)
+                           fixed_mask=fixed_mask, stop_tol=stop_tol,
+                           stop_window=stop_window)
 
 
 def register_affine_multi(
@@ -793,12 +1023,15 @@ def register_affine_multi(
     metric: str = "ncc",
     init_params: Optional[np.ndarray] = None,
     fixed_mask=None,
+    stop_tol: "float | None" = 1e-3,
+    stop_window: "int | None" = None,
 ) -> "list[RegistrationResult]":
     """Batched 12-DOF affine registration (see :func:`register_rigid_multi`)."""
     return _register_multi(fixed, movings, mode="affine", levels=levels,
                            sigmas=sigmas, iters=iters, samples=samples,
                            lr=lr, metric=metric, init_params=init_params,
-                           fixed_mask=fixed_mask)
+                           fixed_mask=fixed_mask, stop_tol=stop_tol,
+                           stop_window=stop_window)
 
 
 def register_and_resample(fixed: Volume, moving: Volume, *, mode: str = "rigid",
