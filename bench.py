@@ -535,19 +535,38 @@ def run_registration_bench():
         jax.block_until_ready([r.params_device for r in multi()])
         times.append(time.perf_counter() - t0)
     dt4 = float(np.median(times))
+    # honest sequential baseline: solve the SAME four pairs one at a time
+    # (each with its own early exit — pose-1 alone is not representative,
+    # and 4x the single row would credit the batch with pose-1's luck)
+    seq = lambda: [jax.block_until_ready(
+        register_rigid(fixed, m, metric="ncc").params_device)
+        for m in movings]
+    seq()
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        seq()
+        times.append(time.perf_counter() - t0)
+    dt_seq = float(np.median(times))
     print(f"# 192^3 rigid registration x4 pairs in ONE program: {dt4:.3f} s "
-          f"({dt4 / 4:.3f} s/pair, {4 * dt / dt4:.2f}x vs sequential singles;"
-          f" worst recovery {worst_rot:.2e} rad / {worst_t:.2e} mm)",
+          f"({dt4 / 4:.3f} s/pair, {dt_seq / dt4:.2f}x vs the same 4 solved "
+          f"sequentially at {dt_seq:.3f} s; worst recovery "
+          f"{worst_rot:.2e} rad / {worst_t:.2e} mm)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "registration_rigid_192_batch4_seconds",
         "value": round(dt4, 3),
         "unit": "s for 4 pairs (192^3 rigid NCC, one jitted multi-pair "
                 "program; gate: every pair recovers its own pose to "
-                "<0.01 rad / <0.5 mm)",
+                "<0.01 rad / <0.5 mm). speedup is vs the SAME 4 pairs "
+                "solved sequentially (both sides early-exit); lock-step "
+                "batching pays the slowest pair's plateau, so its win is "
+                "dispatch amortization at many-small-pair shapes, not "
+                "dense 192^3 compute",
         "vs_baseline": None,
         "seconds_per_pair": round(dt4 / 4, 3),
-        "speedup_vs_sequential": float(f"{4 * dt / dt4:.3g}"),
+        "sequential_4pair_seconds": round(dt_seq, 3),
+        "speedup_vs_sequential": float(f"{dt_seq / dt4:.3g}"),
         "worst_rot_err_rad": float(f"{worst_rot:.3g}"),
         "worst_trans_err_mm": float(f"{worst_t:.3g}"),
     }))
