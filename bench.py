@@ -127,14 +127,27 @@ def kernel_marginal_ps(jax, jnp, tes):
         return float(np.median(ts))
 
     budgets = np.array([2.0, 12.0, 32.0, 52.0])
-    times = np.array([timed(int(b)) for b in budgets])
-    slope = np.polyfit(budgets, times, 1)[0]  # s per +1 iteration
-    # r^2 of the linear fit: a stall-poisoned point shows up here instead
-    # of silently skewing the headline number
-    pred = np.polyval(np.polyfit(budgets, times, 1), budgets)
-    ss_res = float(np.sum((times - pred) ** 2))
-    ss_tot = float(np.sum((times - times.mean()) ** 2))
-    r2 = 1.0 - ss_res / max(ss_tot, 1e-30)
+
+    def measure():
+        times = np.array([timed(int(b)) for b in budgets])
+        slope = np.polyfit(budgets, times, 1)[0]  # s per +1 iteration
+        # r^2 of the linear fit: a stall-poisoned point shows up here
+        # instead of silently skewing the headline number
+        pred = np.polyval(np.polyfit(budgets, times, 1), budgets)
+        ss_res = float(np.sum((times - pred) ** 2))
+        ss_tot = float(np.sum((times - times.mean()) ** 2))
+        return slope, 1.0 - ss_res / max(ss_tot, 1e-30)
+
+    # a single dispatch/tunnel stall poisons one budget's median and shows
+    # as r2 < 0.99; remeasure (executables stay warm) up to twice and keep
+    # the cleanest fit rather than shipping a flagged artifact
+    slope, r2 = measure()
+    for _ in range(2):
+        if r2 >= 0.99:
+            break
+        s2, q2 = measure()
+        if q2 > r2:
+            slope, r2 = s2, q2
     return slope / n_pad * 1e12, r2
 
 
