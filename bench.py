@@ -304,11 +304,12 @@ def run_volume_serving():
         return sig, mask, t2
 
     sig, mask, t2 = make_data(jax.random.PRNGKey(0))
-    # ellipsoid touches ~122K 32-voxel blocks (~3.9M voxels of block
-    # capacity) for 3.0M masked voxels; 0.30 covers it with headroom.
-    # check_capacity=False keeps the chained reps async (its host sync
-    # would serialize every rep on the tunnel's ~200 ms RPC latency);
-    # the gate below watches result.n_overflow instead.
+    # mask_frac=0.30 -> compact='auto' resolves to the DENSE path for the
+    # gaussian model (above the ~0.15 crossover): every voxel is fitted
+    # with trivially-convergent filler outside the mask — no partition
+    # sort, gather or scatter (measured 78 -> 42 ms vs the compacted
+    # program at this 22% ellipsoid). check_capacity=False keeps the
+    # chained reps async; the gate below watches result.n_overflow.
     fit = lambda: fit_volume(sig, mask, te, (0.0, 10.0), (1e6, 2000.0),
                              model="gaussian", mask_frac=0.30,
                              check_capacity=False)
@@ -336,8 +337,9 @@ def run_volume_serving():
     print(json.dumps({
         "metric": "t2fit_volume_serving_voxels_per_sec",
         "value": round(rate, 1),
-        "unit": "masked voxels/s (240^3 grid, ellipsoid mask, one jitted "
-                "compact->fit->scatter program)",
+        "unit": "masked voxels/s (240^3 grid, 22% ellipsoid mask, one "
+                "jitted program; compact='auto' picked the dense "
+                "fit-everything path at this mask fraction)",
         "vs_baseline": round(rate / BASELINE_VOXELS_PER_SEC, 2),
         "median_rel_t2_err_vs_truth": float(f"{med_rel:.3g}"),
         "converged": round(conv, 4),

@@ -24,6 +24,17 @@ reference fits only masked voxels for the same reason,
 run_t2mapping.py:421). Masked blocks beyond capacity are left unfitted
 (map = 0, converged = False) and their masked voxels counted in
 ``n_overflow``.
+
+For LARGE mask fractions compaction stops paying: the gather/scatter rows
+and the partition sort cost more than simply fitting every voxel of the
+volume with trivially-convergent filler in the unmasked ones (the VARPRO
+kernel fits ~400M voxels/s; gather+scatter move ~0.5 us per 32-voxel block
+row). ``compact='auto'`` picks per model and mask_frac — measured at 240^3
+on one v5e chip, the dense path wins above ~15%% mask for the gaussian
+model (80 -> ~45 ms at a 22%% ellipsoid) while the ~8x-heavier 3-param
+multistart kernels keep compaction until ~55%%. The dense path has no
+capacity to overflow (n_overflow only reports inner straggler-budget
+overflow, structurally 0 for the gaussian 'single' strategy).
 """
 
 from __future__ import annotations
@@ -54,10 +65,17 @@ class VolumeFitResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
     "gtol", "tail_frac", "no_prior", "mask_frac", "interpret", "strategy",
-    "block", "tail_block"))
+    "block", "tail_block", "compact"))
 def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
                      max_iters, ftol, gtol, tail_frac, no_prior, mask_frac,
-                     interpret, strategy="single", block=32, tail_block=8):
+                     interpret, strategy="single", block=32, tail_block=8,
+                     compact=True):
+    if not compact:
+        return _fit_volume_dense(
+            signal, mask, model=model, te=te, lo=lo, hi=hi, guess=guess,
+            phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol,
+            gtol=gtol, tail_frac=tail_frac, no_prior=no_prior,
+            interpret=interpret, strategy=strategy, tail_block=tail_block)
     zyx = signal.shape[:3]
     n = zyx[0] * zyx[1] * zyx[2]
     t_axis = signal.shape[3]
@@ -136,6 +154,73 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
     )
 
 
+def _fit_volume_dense(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
+                      max_iters, ftol, gtol, tail_frac, no_prior, interpret,
+                      strategy, tail_block):
+    """No-compaction volume fit: every voxel goes through the fused kernel,
+    unmasked voxels carry trivially-convergent filler (an exact in-bounds
+    decay at the clamped initial guess — converges in 1-2 Newton steps, so
+    blocks of filler exit their VMEM while_loop immediately). No partition
+    sort, no gather, no scatter: results come back in voxel order and the
+    maps are plain reshapes with the mask zeroing applied elementwise. The
+    per-voxel fit results are IDENTICAL to the compacted path's (each
+    voxel's Newton sequence depends only on its own signal; block early
+    exit changes scheduling, never iterates)."""
+    zyx = signal.shape[:3]
+    n = zyx[0] * zyx[1] * zyx[2]
+    t_axis = signal.shape[3]
+    flat_sig = signal.reshape(n, t_axis)
+    sel = mask.reshape(n) > 0
+    te_arr = jnp.asarray(te, jnp.float32)
+    fk = min(max(guess[0], lo[0], 1.0), hi[0])
+    ft2 = min(max(guess[1], lo[1], 1e-3), hi[1])
+    filler = fk * jnp.exp(-te_arr / ft2)
+    batch = jnp.where(sel[:, None], flat_sig, filler)
+
+    res = _fit_fused_impl(
+        batch, model=model, te=te, lo=lo, hi=hi, guess=guess,
+        phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
+        tail_frac=tail_frac, no_prior=no_prior, interpret=interpret,
+        strategy=strategy, tail_block=tail_block)
+
+    p = res.x.shape[1]
+    sigma = (res.x[:, 2] if p == 3 else jnp.zeros_like(res.x[:, 0]))
+    selz = sel.reshape(zyx)
+    chan = lambda v: jnp.where(selz, v.reshape(zyx), 0.0)
+    return VolumeFitResult(
+        t2=chan(res.x[:, 1]),
+        k=chan(res.x[:, 0]),
+        sigma=chan(sigma),
+        fun=chan(res.fun),
+        converged=(res.converged.reshape(zyx) & selz),
+        n_iter=jnp.where(selz, res.n_iter.reshape(zyx), 0).astype(jnp.int32),
+        n_masked=jnp.sum(sel.astype(jnp.int32)),
+        # no capacity to overflow; filler voxels are trivially convergent,
+        # so inner straggler-budget overflow (twophase only) is real voxels
+        n_overflow=res.n_overflow,
+    )
+
+
+# Measured dense-vs-compact crossovers (240^3, one v5e chip): the compacted
+# path costs ~3.7 ms partition sort + ~0.5 us of gather+scatter rows per
+# 32-voxel block, the dense path costs the kernel's per-voxel fit on the
+# whole FOV (~2.5 ns gaussian, ~19 ns for the 3-start multistart models).
+# Equating the two puts the gaussian crossover near mask_frac 0.12-0.15 and
+# the 3-param models near 0.5.
+_DENSE_CROSSOVER_FRAC = {"gaussian": 0.15}
+_DENSE_CROSSOVER_DEFAULT = 0.55
+
+
+def resolve_compact(compact, model: str, mask_frac: float) -> bool:
+    """Resolve the fit_volume ``compact`` knob ('auto' | bool) -> bool."""
+    if compact == "auto":
+        cross = _DENSE_CROSSOVER_FRAC.get(model, _DENSE_CROSSOVER_DEFAULT)
+        return float(mask_frac) < cross
+    if isinstance(compact, bool):
+        return compact
+    raise ValueError(f"compact must be 'auto' or a bool; got {compact!r}")
+
+
 def _capacity(n: int, mask_frac: float) -> int:
     """Masked-voxel budget: int(n*mask_frac) rounded UP to a multiple of 128
     (lane width). Rounding down would make some masks uncoverable at any
@@ -181,6 +266,7 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
                mask_frac: float = 0.25, block: int = 32,
                interpret: bool | None = None,
                strategy: str = "auto",
+               compact: "str | bool" = "auto",
                check_capacity: bool = True) -> VolumeFitResult:
     """Fit every masked voxel of a (Z, Y, X, T) echo volume on device.
 
@@ -201,10 +287,18 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
             voxel-exact compaction (slow scatters — see module docstring);
             larger blocks trade fit work on partially-masked blocks for
             fewer, wider gather/scatter rows.
+        compact: 'auto' (default) | bool. False fits EVERY voxel with
+            trivially-convergent filler outside the mask — no partition
+            sort, gather or scatter, no capacity to overflow. 'auto' picks
+            the dense path when ``mask_frac`` is above the measured
+            crossover for the model (see resolve_compact; ~0.15 for
+            gaussian, ~0.55 for the 3-param multistart models). Per-voxel
+            results are identical either way.
         check_capacity: eagerly count the touched blocks and warn before
             launching if the mask exceeds capacity (one extra dispatch + a
             4-byte host sync). Pipelined serving loops can pass False to
             keep dispatch fully async and watch ``result.n_overflow``.
+            Compacted path only (the dense path has no capacity).
 
     Returns:
         VolumeFitResult of dense device maps + (n_masked, n_overflow).
@@ -224,7 +318,8 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
     n = int(np_prod(signal.shape[:3]))
     n_pad = -(-n // block) * block
     blk_cap = _block_capacity(n, mask_frac, block)
-    if check_capacity:
+    compact = resolve_compact(compact, model, mask_frac)
+    if check_capacity and compact:
         # one fused dispatch + a 4-byte sync; cheap vs a silent underfit.
         # The sync serializes the caller on the previous program, so
         # latency-critical pipelined serving loops can pass
@@ -249,4 +344,5 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
         tail_frac=resolve_tail_frac(tail_frac, tail_block),
         no_prior=no_prior, mask_frac=float(mask_frac),
         interpret=bool(interpret), block=int(block), tail_block=tail_block,
-        strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))
+        strategy=resolve_strategy(strategy, phase1_iters, max_iters, model),
+        compact=compact)

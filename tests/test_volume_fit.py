@@ -56,9 +56,9 @@ def test_fit_volume_block_matches_voxel_exact():
     masked voxel, including with a grid not divisible by the block."""
     sig, mask, t2, _ = _volume(nz=15, seed=3)   # 3375 voxels: not 32-aligned
     res_b = fit_volume(sig, mask, TES, LO, HI, max_iters=30, mask_frac=1.0,
-                       block=32)
+                       block=32, compact=True)
     res_v = fit_volume(sig, mask, TES, LO, HI, max_iters=30, mask_frac=1.0,
-                       block=1)
+                       block=1, compact=True)
     assert int(res_b.n_overflow) == 0 and int(res_v.n_overflow) == 0
     np.testing.assert_allclose(np.asarray(res_b.t2)[mask],
                                np.asarray(res_v.t2)[mask], rtol=1e-6)
@@ -103,7 +103,8 @@ def test_fit_volume_3param_partial_blocks():
                      ).astype(np.float32)
     mask = rng.random((nz, nz, nz)) < 0.5          # scattered: no full block
     res = fit_volume(sig, mask, TES, (0.0, 10.0, 0.1), (2000.0, 600.0, 50.0),
-                     model="gaussian_rician", max_iters=40, mask_frac=1.0)
+                     model="gaussian_rician", max_iters=40, mask_frac=1.0,
+                     compact=True)
     assert int(res.n_overflow) == 0
     conv = np.asarray(res.converged)
     assert conv[mask].mean() > 0.98
@@ -141,3 +142,43 @@ def test_fit_volume_validates_shapes():
         fit_volume(sig[..., 0], mask, TES, LO, HI)
     with pytest.raises(ValueError, match="mask"):
         fit_volume(sig, mask[2:], TES, LO, HI)
+
+
+def test_fit_volume_dense_matches_compact():
+    """The dense path (compact=False: fit every voxel, filler outside the
+    mask, no partition/gather/scatter) must produce IDENTICAL per-voxel
+    results to the compacted path — each voxel's Newton sequence depends
+    only on its own signal, block early exit only reschedules."""
+    sig, mask, t2, _ = _volume(nz=15, seed=9)
+    res_c = fit_volume(sig, mask, TES, LO, HI, max_iters=30, mask_frac=1.0,
+                       compact=True)
+    res_d = fit_volume(sig, mask, TES, LO, HI, max_iters=30, compact=False)
+    assert int(res_c.n_overflow) == 0 and int(res_d.n_overflow) == 0
+    assert int(res_c.n_masked) == int(res_d.n_masked)
+    np.testing.assert_array_equal(np.asarray(res_c.t2), np.asarray(res_d.t2))
+    np.testing.assert_array_equal(np.asarray(res_c.k), np.asarray(res_d.k))
+    np.testing.assert_array_equal(np.asarray(res_c.converged),
+                                  np.asarray(res_d.converged))
+    np.testing.assert_array_equal(np.asarray(res_c.n_iter),
+                                  np.asarray(res_d.n_iter))
+    # outside-mask contract holds on the dense path too
+    np.testing.assert_array_equal(np.asarray(res_d.t2)[~mask], 0.0)
+    assert not np.asarray(res_d.converged)[~mask].any()
+
+
+def test_resolve_compact_auto():
+    from fetal_t2mapping_tpu.models.volume_fit import resolve_compact
+
+    # gaussian crossover ~0.15: small masks compact, big masks go dense
+    assert resolve_compact("auto", "gaussian", 0.10) is True
+    assert resolve_compact("auto", "gaussian", 0.30) is False
+    # 3-param multistart kernels are ~8x heavier per voxel: compaction
+    # pays until much larger fractions
+    assert resolve_compact("auto", "rician", 0.30) is True
+    assert resolve_compact("auto", "gaussian_rician", 0.30) is True
+    assert resolve_compact("auto", "rician", 0.60) is False
+    # explicit booleans pass through; junk rejected
+    assert resolve_compact(True, "gaussian", 0.9) is True
+    assert resolve_compact(False, "rician", 0.01) is False
+    with pytest.raises(ValueError, match="compact"):
+        resolve_compact("always", "gaussian", 0.5)
