@@ -650,6 +650,47 @@ def _level_samples(samples, n_levels: int):
     return samples
 
 
+def _shard_level_ops(level_ops, mesh):
+    """Lay one registration's level operands out over a device mesh.
+
+    The fixed-image SAMPLE axis is the only axis worth sharding (2^14-2^16
+    points vs 6/12 transform params): points and values are partitioned
+    over the mesh's first axis, every moving-side operand — including the
+    multi-pair engine's batched stack, whose pair axis is small and rides
+    inside each shard — is replicated. The jitted level drivers are
+    unchanged: GSPMD turns the metric's sample-axis reductions (NCC/MSE
+    sums, the Parzen joint-histogram (B,N)x(N,B) matmul, and the autodiff
+    gradient's matching reductions) into psum collectives over ICI. Sample
+    budgets are powers of two (_LEVEL_SAMPLES / exact masked resampling) so
+    they divide any power-of-two mesh evenly; a level whose full strided
+    grid undercuts the budget (small coarse levels) can land on a
+    non-multiple count — those are evenly resampled down to the largest
+    multiple (dropping <ndev samples out of thousands: metric change is
+    far below the sampling noise already accepted by strided sampling).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    sh_pts = NamedSharding(mesh, P(axis, None))
+    sh_val = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    ndev = mesh.devices.size
+    out = []
+    for ops in level_ops:
+        pts, vals = ops[0], ops[1]
+        n = int(pts.shape[0])
+        if n < ndev:
+            raise ValueError(
+                f"level has {n} metric samples for a {ndev}-device mesh")
+        if n % ndev:
+            keep = np.round(np.linspace(0, n - 1, num=n - n % ndev)
+                            ).astype(np.int32)
+            pts, vals = pts[keep], vals[keep]
+        out.append((jax.device_put(pts, sh_pts), jax.device_put(vals, sh_val))
+                   + tuple(jax.device_put(o, rep) for o in ops[2:]))
+    return tuple(out)
+
+
 def _fixed_mask_pyramid(fixed: Volume, fixed_mask, levels: Sequence[int]):
     """Normalize a fixed-image metric mask (Volume | array | "auto" | None)
     to one bool array per pyramid level (or all-None when unmasked).
@@ -829,8 +870,15 @@ def register_rigid(
     fixed_mask=None,
     stop_tol: "float | None" = 1e-3,
     stop_window: "int | None" = None,
+    mesh=None,
 ) -> RegistrationResult:
     """6-DOF rigid registration of ``moving`` onto ``fixed``.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) shards the metric's fixed-image
+    sample axis over the mesh devices — the solve runs the SAME jitted
+    program with GSPMD-inserted psum collectives for the sample-axis
+    reductions (see :func:`_shard_level_ops`). Results are identical to
+    the single-device solve up to reduction-order rounding.
 
     ``fixed_mask`` (a Volume or bool array on the fixed grid) restricts the
     metric to mask voxels — the fixed-image metric mask of the reference's
@@ -863,6 +911,8 @@ def register_rigid(
                       max_points=int(n_smp), mask_level=mlvl)
         for (f_dat, f_sp), (m_dat, m_sp), n_smp, mlvl
         in zip(f_pyr, m_pyr, samples, mask_pyr))
+    if mesh is not None:
+        level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
         _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
         jnp.asarray(scale), params, jnp.float32(lr), kind=metric,
@@ -888,13 +938,15 @@ def register_affine(
     fixed_mask=None,
     stop_tol: "float | None" = 1e-3,
     stop_window: "int | None" = None,
+    mesh=None,
 ) -> RegistrationResult:
     """12-DOF affine registration (the FLIRT replacement).
 
     The 9 matrix entries are optimized as perturbations of identity with a
     small lr (dimensionless), translations ride the same Adam scaling.
-    ``fixed_mask`` restricts the metric to fixed-image mask voxels and
-    ``stop_tol``/``stop_window`` control the plateau early exit (see
+    ``fixed_mask`` restricts the metric to fixed-image mask voxels,
+    ``stop_tol``/``stop_window`` control the plateau early exit, and
+    ``mesh`` shards the metric's sample axis over a device mesh (see
     :func:`register_rigid`).
     """
     center = np.asarray(fixed.center_world(), np.float32)
@@ -913,6 +965,8 @@ def register_affine(
                       max_points=int(n_smp), mask_level=mlvl)
         for (f_dat, f_sp), (m_dat, m_sp), n_smp, mlvl
         in zip(f_pyr, m_pyr, samples, mask_pyr))
+    if mesh is not None:
+        level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
         _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
         jnp.float32(1.0),  # scale unused in affine
@@ -926,7 +980,8 @@ def register_affine(
 
 def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
                     levels, sigmas, iters, samples, lr, metric,
-                    init_params, fixed_mask, stop_tol, stop_window):
+                    init_params, fixed_mask, stop_tol, stop_window,
+                    mesh=None):
     if len(movings) == 0:
         return []
     center = np.asarray(fixed.center_world(), np.float32)
@@ -961,6 +1016,8 @@ def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
             fixed, f_dat, f_sp, int(n_smp), mask_level=mlvl)
         level_ops.append((fixed_pts, fixed_vals)
                          + _stacked_moving_operands(movings, m_pyrs, li))
+    if mesh is not None:
+        level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
         _run_levels_multi, _run_levels_multi_early, tuple(level_ops),
         jnp.asarray(center), jnp.asarray(scale), params, jnp.float32(lr),
@@ -988,6 +1045,7 @@ def register_rigid_multi(
     fixed_mask=None,
     stop_tol: "float | None" = 1e-3,
     stop_window: "int | None" = None,
+    mesh=None,
 ) -> "list[RegistrationResult]":
     """Register P moving volumes onto ONE fixed volume in a single program.
 
@@ -1008,7 +1066,7 @@ def register_rigid_multi(
                            sigmas=sigmas, iters=iters, samples=samples,
                            lr=lr, metric=metric, init_params=init_params,
                            fixed_mask=fixed_mask, stop_tol=stop_tol,
-                           stop_window=stop_window)
+                           stop_window=stop_window, mesh=mesh)
 
 
 def register_affine_multi(
@@ -1025,13 +1083,14 @@ def register_affine_multi(
     fixed_mask=None,
     stop_tol: "float | None" = 1e-3,
     stop_window: "int | None" = None,
+    mesh=None,
 ) -> "list[RegistrationResult]":
     """Batched 12-DOF affine registration (see :func:`register_rigid_multi`)."""
     return _register_multi(fixed, movings, mode="affine", levels=levels,
                            sigmas=sigmas, iters=iters, samples=samples,
                            lr=lr, metric=metric, init_params=init_params,
                            fixed_mask=fixed_mask, stop_tol=stop_tol,
-                           stop_window=stop_window)
+                           stop_window=stop_window, mesh=mesh)
 
 
 def register_and_resample(fixed: Volume, moving: Volume, *, mode: str = "rigid",

@@ -259,3 +259,79 @@ def test_fit_fused_sharded_rejects_bad_tail_block():
         fit_fused_sharded(sig, (114.0, 202.0, 299.0), (0.0, 10.0),
                           (1e6, 2000.0), voxel_mesh(), model="gaussian",
                           strategy="twophase", tail_block=12)
+
+
+class TestShardedRegistration:
+    """register_* with mesh=: the metric's fixed-sample axis sharded over
+    the 8-device mesh, GSPMD psum collectives for the sample reductions
+    (the production surface of dryrun_multichip's path 4)."""
+
+    def _pair(self, seed=3, shape=(24, 24, 24)):
+        from tests.test_recon import _blob_volume, _rigid_world_matrix
+        from fetal_t2mapping_tpu.recon.resample import resample_to_reference
+
+        fixed = _blob_volume(shape=shape, seed=seed)
+        center = np.asarray(fixed.center_world())
+        T_true = _rigid_world_matrix(0.04, -0.03, 0.05, [3.0, -2.0, 2.0],
+                                     center)
+        moving = resample_to_reference(fixed, fixed, transform=T_true)
+        return fixed, moving, T_true, center
+
+    @staticmethod
+    def _assert_recovers(reg, T_true, center, atol_rot=0.02, atol_mm=1.0):
+        comp = T_true @ reg.matrix
+        np.testing.assert_allclose(comp[:3, :3], np.eye(3), atol=atol_rot)
+        resid = np.abs(comp[:3, 3] - center + comp[:3, :3] @ center)
+        assert resid.max() < atol_mm, resid
+
+    def test_mesh_rigid_matches_single_device(self):
+        from fetal_t2mapping_tpu.recon.registration import register_rigid
+        from tests.test_recon import FAST_REG
+
+        fixed, moving, T_true, center = self._pair()
+        mesh = voxel_mesh()
+        # fixed iteration budget on both sides: the trajectories see the
+        # same gradients up to reduction-order rounding, so the solves
+        # must land on (near-)identical transforms
+        kw = dict(FAST_REG, stop_tol=None)
+        reg1 = register_rigid(fixed, moving, **kw)
+        reg8 = register_rigid(fixed, moving, mesh=mesh, **kw)
+        self._assert_recovers(reg1, T_true, center)
+        self._assert_recovers(reg8, T_true, center)
+        np.testing.assert_allclose(reg8.matrix[:3, :3], reg1.matrix[:3, :3],
+                                   atol=5e-3)
+        np.testing.assert_allclose(reg8.matrix[:3, 3], reg1.matrix[:3, 3],
+                                   atol=0.3)
+
+    def test_mesh_mi_histogram_collectives(self):
+        """MI's Parzen joint histogram is a (B,N)x(N,B) matmul over the
+        SHARDED sample axis — the genuine cross-shard reduction. A
+        non-power-of-two level grid (21^3 = 9261 samples) also exercises
+        the even-resample-to-multiple fallback."""
+        from fetal_t2mapping_tpu.recon.registration import register_rigid
+
+        fixed, moving, T_true, center = self._pair(seed=5, shape=(21, 21, 21))
+        reg8 = register_rigid(fixed, moving, mesh=voxel_mesh(), metric="mi",
+                              levels=(2, 1), sigmas=(1.0, 0.0),
+                              iters=(100, 60), lr=0.8, stop_tol=None)
+        self._assert_recovers(reg8, T_true, center, atol_rot=0.03,
+                              atol_mm=1.5)
+
+    def test_mesh_multi_pair(self):
+        from fetal_t2mapping_tpu.recon.registration import register_rigid_multi
+        from fetal_t2mapping_tpu.recon.resample import resample_to_reference
+        from tests.test_recon import (FAST_REG, _blob_volume,
+                                      _rigid_world_matrix)
+
+        fixed = _blob_volume(seed=7)
+        center = np.asarray(fixed.center_world())
+        poses = [
+            _rigid_world_matrix(0.03, 0.02, -0.04, [2.0, -1.5, 2.5], center),
+            _rigid_world_matrix(-0.04, 0.03, 0.02, [-2.5, 2.0, -1.5], center),
+        ]
+        movings = [resample_to_reference(fixed, fixed, transform=T)
+                   for T in poses]
+        regs = register_rigid_multi(fixed, movings, mesh=voxel_mesh(),
+                                    **dict(FAST_REG, stop_tol=None))
+        for reg, T_true in zip(regs, poses):
+            self._assert_recovers(reg, T_true, center)
