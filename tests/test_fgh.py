@@ -7,6 +7,8 @@ objectives (which are themselves test-anchored to the reference formulas)
 at random interior points, in float64-free fp32 tolerances.
 """
 
+import zlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,6 +41,15 @@ def _rand_points(model, n=64, seed=0):
     te = np.asarray(TES, np.float32)
     s = np.maximum(k[:, None] * np.exp(-te[None, :] / true_t2[:, None])
                    + rng.normal(0, noise, (n, 3)).astype(np.float32), 0.5)
+    if model == "rician":
+        # ENFORCE the x <= ~100 bound the comment above states (the raw
+        # draw allows k/sg up to 30, i.e. x up to ~900, where the A&S
+        # polynomial's ~1e-7 truncation error amplifies to O(10%) in the
+        # sigma-sigma Hessian entry — R'(x) ~ 1/(2x^2) sits below the poly
+        # error there, in ANY precision). Scale sigma up where needed:
+        m = k[:, None] * np.exp(-te[None, :] / t2[:, None])
+        x_max = (m * s).max(axis=1)
+        sg = np.maximum(sg, np.sqrt(x_max / 100.0)).astype(np.float32)
     n_params = fgh.N_PARAMS[model]
     params = (k, t2) if n_params == 2 else (k, t2, sg)
     return params, s.astype(np.float32)
@@ -76,7 +87,10 @@ def x64():
 @pytest.mark.parametrize("model", ["gaussian", "gaussian_rician", "rician"])
 def test_fgh_matches_autodiff(model, x64):
     n_params = fgh.N_PARAMS[model]
-    params, s = _rand_points(model, seed=hash(model) % 2**31)
+    # zlib.crc32, not hash(): str hashing is randomized per process
+    # (PYTHONHASHSEED), so hash(model) made the draw — and an occasional
+    # unlucky near-zero Hessian entry vs the tolerance floor — flaky.
+    params, s = _rand_points(model, seed=zlib.crc32(model.encode()) % 2**31)
     params = tuple(p.astype(np.float64) for p in params)
     s = s.astype(np.float64)
     obj = make_objective(model)
