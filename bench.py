@@ -596,43 +596,52 @@ def run_unet_bench():
     import jax
     import jax.numpy as jnp
     from fetal_t2mapping_tpu.labels.unet3d import (
-        UNetConfig, _segment_jit, random_params)
+        UNetConfig, _segment_jit, _segment_s2d_jit, random_params,
+        s2d_level0_params)
 
     n = 160
     cfg = UNetConfig()
-    params = {k: jnp.asarray(v) for k, v in random_params(cfg).items()}
+    params_np = random_params(cfg)
+    params = {k: jnp.asarray(v) for k, v in params_np.items()}
+    s2d = {k: jnp.asarray(v)
+           for k, v in s2d_level0_params(params_np, cfg).items()}
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, n, n, n, 1), jnp.float32)
 
-    def timed(dtype):
-        out = _segment_jit(params, x, cfg, dtype)
+    def timed(fn):
+        out = fn()
         float(jnp.mean(out.astype(jnp.float32)))  # compile + sync
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [_segment_jit(params, x, cfg, dtype) for _ in range(2)]
+            outs = [fn() for _ in range(2)]
             float(sum(jnp.mean(o.astype(jnp.float32)) for o in outs))
             times.append((time.perf_counter() - t0) / 2)
         return float(np.median(times)), np.asarray(out)
 
-    dt32, lab32 = timed(jnp.float32)
-    dt16, lab16 = timed(jnp.bfloat16)    # production TPU path
-    agree = float((lab16 == lab32).mean())
+    dt32, lab32 = timed(lambda: _segment_jit(params, x, cfg, jnp.float32))
+    dt16, _ = timed(lambda: _segment_jit(params, x, cfg, jnp.bfloat16))
+    # production TPU path: exact space-to-depth level 0, bf16 MXU inputs
+    dts, labs = timed(
+        lambda: _segment_s2d_jit(params, s2d, x, cfg, jnp.bfloat16))
+    agree = float((labs == lab32).mean())
     if agree < 0.97:
-        print(f"unet gate FAILED: bf16/fp32 label agreement {agree:.4f} "
+        print(f"unet gate FAILED: s2d-bf16/fp32 label agreement {agree:.4f} "
               "< 0.97", file=sys.stderr)
         raise SystemExit(1)
-    rate = n ** 3 / dt16
+    rate = n ** 3 / dts
     print(f"# 160^3 U-Net forward (SynthSeg architecture, argmax labels): "
-          f"bf16 {dt16*1e3:.1f} ms ({rate/1e6:.1f} M voxels/s), fp32 "
-          f"{dt32*1e3:.1f} ms, label agreement {agree:.4f}", file=sys.stderr)
+          f"s2d-level0 bf16 {dts*1e3:.1f} ms ({rate/1e6:.1f} M voxels/s) vs "
+          f"dense bf16 {dt16*1e3:.1f} ms / fp32 {dt32*1e3:.1f} ms, "
+          f"label agreement {agree:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "unet_forward_160_voxels_per_sec",
         "value": round(rate, 1),
-        "unit": f"voxels/s (160^3, bf16-input/fp32-accumulate MXU convs "
-                f"{dt16*1e3:.1f} ms vs fp32 {dt32*1e3:.1f} ms; 5-level "
+        "unit": f"voxels/s (160^3, space-to-depth level 0 + bf16-input/"
+                f"fp32-accumulate MXU convs {dts*1e3:.1f} ms; dense bf16 "
+                f"{dt16*1e3:.1f} ms, fp32 {dt32*1e3:.1f} ms; 5-level "
                 "SynthSeg architecture + argmax)",
         "vs_baseline": None,
-        "bf16_fp32_label_agreement": round(agree, 4),
+        "s2d_fp32_label_agreement": round(agree, 4),
     }))
     sys.stdout.flush()
 

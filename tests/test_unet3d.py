@@ -97,6 +97,100 @@ def test_runner_jax_requires_weights():
             r.run("/tmp/nonexistent_in", "/tmp/nonexistent_out")
 
 
+class TestSpaceToDepthLevel0:
+    """The production inference path rewrites level 0 in space-to-depth
+    form (unet3d.unet_apply_s2d) — exactly the same network, with the
+    24-channel full-resolution convs expressed as 192-channel convs at
+    half resolution so the MXU lanes stay full (~1.6x the dense forward
+    on TPU). These tests pin exactness against unet_apply."""
+
+    def _pair(self, cfg, seed, shape):
+        import jax.numpy as jnp
+
+        from fetal_t2mapping_tpu.labels.unet3d import s2d_level0_params
+
+        params = random_params(cfg, seed=seed)
+        pj = {k: jnp.asarray(v) for k, v in params.items()}
+        s2d = {k: jnp.asarray(v)
+               for k, v in s2d_level0_params(params, cfg).items()}
+        x = jnp.asarray(np.random.default_rng(seed).normal(0, 1, shape),
+                        jnp.float32)
+        return pj, s2d, x
+
+    @pytest.mark.parametrize("cfgkw,shape", [
+        (dict(n_levels=3, base_features=4, n_labels=5), (1, 16, 12, 20, 1)),
+        (dict(n_levels=2, base_features=3, n_labels=4), (2, 8, 10, 6, 1)),
+        (dict(n_levels=2, base_features=2, n_labels=3,
+              n_conv_per_level=3), (1, 8, 8, 8, 1)),
+        (dict(), (1, 16, 16, 16, 1)),           # full SynthSeg topology
+    ])
+    def test_logits_match_dense_path(self, cfgkw, shape):
+        import jax.numpy as jnp
+
+        from fetal_t2mapping_tpu.labels.unet3d import unet_apply_s2d
+
+        cfg = UNetConfig(**cfgkw)
+        pj, s2d, x = self._pair(cfg, seed=1, shape=shape)
+        ref = np.asarray(unet_apply(pj, x, cfg, jnp.float32))
+        got = np.asarray(unet_apply_s2d(pj, s2d, x, cfg, jnp.float32,
+                                        return_logits=True))
+        scale = max(float(np.abs(ref).max()), 1e-6)
+        assert np.abs(got - ref).max() / scale < 1e-4   # fp32 sum order only
+        cls = np.asarray(unet_apply_s2d(pj, s2d, x, cfg, jnp.float32))
+        np.testing.assert_array_equal(cls, ref.argmax(-1))
+
+    def test_fold_upsample_kernel_exact(self):
+        """dec0_0's upsample branch folds onto the coarse grid: conv3
+        (SAME) of the folded kernel == dense conv of the upsampled input,
+        for every tap and channel."""
+        import jax.numpy as jnp
+
+        from fetal_t2mapping_tpu.labels.unet3d import (
+            _conv, _fold_upsample_kernel, _upsample2)
+        import jax
+
+        rng = np.random.default_rng(0)
+        cu, co, q = 4, 3, 5
+        z = jnp.asarray(rng.normal(0, 1, (1, q, q, q, cu)), jnp.float32)
+        w = rng.normal(0, 1, (3, 3, 3, cu, co)).astype(np.float32)
+        ref = np.asarray(_conv(_upsample2(z), jnp.asarray(w), jnp.zeros(co)))
+        out = jax.lax.conv_general_dilated(
+            z, jnp.asarray(_fold_upsample_kernel(w)), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        got = np.asarray(out.reshape(1, q, q, q, 2, 2, 2, co)
+                         .transpose(0, 1, 4, 2, 5, 3, 6, 7)
+                         .reshape(1, 2 * q, 2 * q, 2 * q, co))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_s2d_kernel_rejects_non3(self):
+        from fetal_t2mapping_tpu.labels.unet3d import _s2d_kernel
+
+        with pytest.raises(ValueError):
+            _s2d_kernel(np.zeros((2, 2, 2, 3, 3), np.float32))
+
+    def test_segment_volume_s2d_matches_dense(self):
+        """segment_volume auto-selects the S2D path for 3^3 kernels; its
+        labels must match the dense jit path voxel for voxel."""
+        import jax.numpy as jnp
+
+        from fetal_t2mapping_tpu.labels.unet3d import _segment_jit
+
+        params = random_params(CFG, seed=4)
+        data = np.abs(np.random.default_rng(4).normal(
+            500, 100, (9, 13, 11))).astype(np.float32)
+        labels = segment_volume(params, data, CFG)        # S2D path
+        # dense path on the same normalized/padded input
+        scale = np.percentile(data[data > 0], 99.5)
+        norm = np.clip(data / scale, 0.0, 1.0)
+        padded, crop = pad_to_divisor(norm, CFG.divisor)
+        pj = {k: jnp.asarray(v) for k, v in params.items()}
+        cls = np.asarray(_segment_jit(pj, jnp.asarray(padded)[None, ..., None],
+                                      CFG, jnp.float32))[0][crop]
+        lut = np.asarray(SYNTHSEG_LABELS, np.int16)
+        np.testing.assert_array_equal(labels, lut[cls])
+
+
 def test_bf16_compute_matches_fp32_labels():
     """The TPU production path feeds the MXU bf16 inputs with fp32
     accumulation; class decisions must match full precision away from
