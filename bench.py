@@ -619,29 +619,32 @@ def run_unet_bench():
         return float(np.median(times)), np.asarray(out)
 
     dt32, lab32 = timed(lambda: _segment_jit(params, x, cfg, jnp.float32))
-    dt16, _ = timed(lambda: _segment_jit(params, x, cfg, jnp.bfloat16))
-    # production TPU path: exact space-to-depth level 0, bf16 MXU inputs
+    # production TPU path: z-decomposed 2D convs, bf16 MXU inputs
+    dt16, lab16 = timed(lambda: _segment_jit(params, x, cfg, jnp.bfloat16))
+    # alternative: exact space-to-depth level 0 (selectable, FT2_UNET_S2D)
     dts, labs = timed(
         lambda: _segment_s2d_jit(params, s2d, x, cfg, jnp.bfloat16))
-    agree = float((labs == lab32).mean())
-    if agree < 0.97:
-        print(f"unet gate FAILED: s2d-bf16/fp32 label agreement {agree:.4f} "
-              "< 0.97", file=sys.stderr)
+    agree = float((lab16 == lab32).mean())
+    agree_s2d = float((labs == lab32).mean())
+    if agree < 0.97 or agree_s2d < 0.97:
+        print(f"unet gate FAILED: label agreement vs fp32 {agree:.4f} "
+              f"(bf16) / {agree_s2d:.4f} (s2d) < 0.97", file=sys.stderr)
         raise SystemExit(1)
-    rate = n ** 3 / dts
+    rate = n ** 3 / dt16
     print(f"# 160^3 U-Net forward (SynthSeg architecture, argmax labels): "
-          f"s2d-level0 bf16 {dts*1e3:.1f} ms ({rate/1e6:.1f} M voxels/s) vs "
-          f"dense bf16 {dt16*1e3:.1f} ms / fp32 {dt32*1e3:.1f} ms, "
-          f"label agreement {agree:.4f}", file=sys.stderr)
+          f"bf16 z-decomposed convs {dt16*1e3:.1f} ms ({rate/1e6:.1f} M "
+          f"voxels/s), fp32 {dt32*1e3:.1f} ms, s2d-level0 alternative "
+          f"{dts*1e3:.1f} ms, label agreement {agree:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "unet_forward_160_voxels_per_sec",
         "value": round(rate, 1),
-        "unit": f"voxels/s (160^3, space-to-depth level 0 + bf16-input/"
-                f"fp32-accumulate MXU convs {dts*1e3:.1f} ms; dense bf16 "
-                f"{dt16*1e3:.1f} ms, fp32 {dt32*1e3:.1f} ms; 5-level "
-                "SynthSeg architecture + argmax)",
+        "unit": f"voxels/s (160^3, z-decomposed bf16-input/fp32-accumulate "
+                f"MXU convs {dt16*1e3:.1f} ms; fp32 {dt32*1e3:.1f} ms, "
+                f"space-to-depth-level-0 alternative {dts*1e3:.1f} ms; "
+                "5-level SynthSeg architecture + argmax)",
         "vs_baseline": None,
-        "s2d_fp32_label_agreement": round(agree, 4),
+        "bf16_fp32_label_agreement": round(agree, 4),
+        "s2d_fp32_label_agreement": round(agree_s2d, 4),
     }))
     sys.stdout.flush()
 

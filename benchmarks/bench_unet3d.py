@@ -39,24 +39,32 @@ def main():
 
     import jax.numpy as jnp
 
-    # production path: exact space-to-depth level 0 (bf16 MXU inputs)
-    apply = jax.jit(lambda p, s, v: unet_apply_s2d(p, s, v, cfg, jnp.bfloat16))
-    out = apply(params, s2d, x)               # compile
-    float(out.mean())
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = apply(params, s2d, x)
+    def timed(fn):
+        out = fn()                            # compile
         float(out.mean())
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            float(out.mean())
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    # production path: z-decomposed 2D convs, bf16 MXU inputs (argmax
+    # labels, matching the s2d program's output semantics)
+    dense = jax.jit(
+        lambda p, v: jnp.argmax(unet_apply(p, v, cfg, jnp.bfloat16), -1))
+    dt = timed(lambda: dense(params, x))
+    # alternative: exact space-to-depth level 0 (FT2_UNET_S2D=1)
+    s2d_fn = jax.jit(
+        lambda p, s, v: unet_apply_s2d(p, s, v, cfg, jnp.bfloat16))
+    dt_s2d = timed(lambda: s2d_fn(params, s2d, x))
     print(json.dumps({
         "metric": "unet3d_synthseg_160_forward_seconds",
         "value": round(dt, 3),
         "unit": f"s per {n}^3 volume (5-level/24-feature U-Net, "
-                f"{cfg.n_labels}-label head, space-to-depth level-0 "
-                "bf16 XLA convs)",
+                f"{cfg.n_labels}-label head, z-decomposed bf16 XLA convs; "
+                f"space-to-depth-level-0 alternative {dt_s2d:.3f} s)",
         "volumes_per_sec": round(1.0 / dt, 2),
     }))
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -136,7 +137,10 @@ def validate_params(params: Dict[str, np.ndarray], cfg: UNetConfig) -> None:
 
 
 def _conv(x, w, b, compute_dtype=jnp.float32):
-    """3-D conv, NDHWC, SAME — lowered onto the MXU by XLA.
+    """3-D conv, NDHWC, SAME, decomposed over the z taps into z-batched
+    2-D convs (XLA's TPU 2D conv emitter consistently outruns its 3D one
+    at these shapes — measured 1.1-1.5x across every layer of this
+    network; the sum is exact, only fp32 accumulation order changes).
 
     ``compute_dtype=bfloat16`` keeps ACTIVATIONS in the MXU's native bf16
     input precision while ACCUMULATING in fp32 (preferred_element_type);
@@ -146,12 +150,20 @@ def _conv(x, w, b, compute_dtype=jnp.float32):
     SLOWER than pure fp32 from the extra cast traffic). The class decision
     is an argmax over well-separated logits, so bf16 mantissa loss only
     matters at decision boundaries (validated against fp32 in tests)."""
-    out = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype), w.astype(compute_dtype),
-        window_strides=(1, 1, 1), padding="SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
-    return out + b
+    x = x.astype(compute_dtype)
+    w = w.astype(compute_dtype)
+    n, d, h, wd, ci = x.shape
+    kz = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (kz // 2, kz // 2), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for t in range(kz):
+        y = jax.lax.conv_general_dilated(
+            xp[:, t:t + d].reshape(n * d, h, wd, ci), w[t],
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    return out.reshape(n, d, h, wd, -1) + b
 
 
 def _maxpool2(x):
@@ -217,9 +229,14 @@ def unet_apply(params: Dict, x: jnp.ndarray, cfg: UNetConfig = UNetConfig(),
 #
 # The weight transform (_s2d_kernel) scatters the 27 original taps into a
 # 2^3 x (8 c_in) x (8 c_out) kernel (27/64 nonzero). That is 2.37x the
-# FLOPs — but at >4x the MXU rate, measured ~1.9x faster end to end. Used
-# for inference only (segment_volume); numerics pinned against unet_apply
-# in tests/test_synthseg_weights.py.
+# FLOPs at a much higher MXU rate: each transformed conv runs ~1.5x
+# faster than its dense zdec equivalent standalone (10.0 vs 15.6 ms for
+# the 24-channel conv at 160^3). In the FULL network, however, XLA fuses
+# the dense conv+ELU+cast chains well enough that the dense program wins
+# (61 vs 66 ms at 160^3 on TPU v5e) — so this path is selectable
+# (segment_volume(use_s2d=True) / FT2_UNET_S2D=1) rather than default,
+# for hardware where the conv-emitter tradeoff tips the other way.
+# Numerics pinned against unet_apply in tests/test_unet3d.py.
 # ---------------------------------------------------------------------------
 
 
@@ -328,22 +345,34 @@ def _s2d_regrid(y):
 
 
 def _conv_s2d(x, w, b, compute_dtype=jnp.float32):
-    """2^3 VALID conv: in-form (N,Q+1,..,8ci) -> out-form (N,Q,..,8co)."""
-    out = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype), w.astype(compute_dtype),
-        window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
-    return out + b
+    """2^3 VALID conv: in-form (N,Q+1,..,8ci) -> out-form (N,Q,..,8co).
+
+    Decomposed over the z taps into two z-batched 2D convs summed —
+    XLA's TPU 2D conv emitter runs these ~35 TF/s vs ~27 TF/s for the
+    equivalent 3D conv at S2D channel counts (measured at 192ch/80^3)."""
+    n, qz1, qy1, qx1, ci = x.shape
+    qz = qz1 - 1
+    x = x.astype(compute_dtype)
+    w = w.astype(compute_dtype)
+
+    def tap(v, wk):
+        y = jax.lax.conv_general_dilated(
+            v.reshape(n * qz, qy1, qx1, ci), wk,
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return y.reshape(n, qz, qy1 - 1, qx1 - 1, y.shape[-1])
+
+    return tap(x[:, :qz], w[0]) + tap(x[:, 1:], w[1]) + b
 
 
 def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
                    cfg: UNetConfig = UNetConfig(),
                    compute_dtype=jnp.float32, return_logits: bool = False):
     """Forward pass with level 0 in space-to-depth form — exactly the same
-    network as unet_apply (same weights, reordered), ~1.9x faster at
-    SynthSeg's 24-channel level 0 on the MXU. Returns per-voxel class
-    indices (N, D, H, W) int32 (argmax happens in out-form, before the
+    network as unet_apply (same weights, reordered); see the block comment
+    above for when this wins. Returns per-voxel class indices
+    (N, D, H, W) int32 (argmax happens in out-form, before the
     depth-to-space).
 
     ``s2d_params`` is s2d_level0_params(params, cfg); ``params`` still
@@ -438,7 +467,8 @@ def _segment_s2d_jit(params, s2d_params, x, cfg: UNetConfig,
 def segment_volume(params: Dict, data: np.ndarray,
                    cfg: "UNetConfig | None" = None,
                    labels: "Sequence[int] | None" = None,
-                   compute_dtype=None) -> np.ndarray:
+                   compute_dtype=None,
+                   use_s2d: "bool | None" = None) -> np.ndarray:
     """Segment one (z, y, x) intensity volume -> int16 SynthSeg label map.
 
     Intensities are robust-max normalized (SynthSeg's inference-time
@@ -446,12 +476,15 @@ def segment_volume(params: Dict, data: np.ndarray,
     labels default to what the parameter tree implies (converted real
     weights use the SynthSeg aseg numbering; other label counts map to
     0..n-1 unless given explicitly). ``compute_dtype`` defaults to
-    bfloat16 on TPU (the MXU's native input precision, ~2x the fp32 conv
-    rate, fp32 accumulation) and float32 elsewhere; pass jnp.float32 to
-    force full precision."""
+    bfloat16 on TPU (the MXU's native input precision, fp32 accumulation)
+    and float32 elsewhere; pass jnp.float32 to force full precision.
+    ``use_s2d`` selects the space-to-depth level-0 program (default: the
+    FT2_UNET_S2D env var, off)."""
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                          else jnp.float32)
+    if use_s2d is None:
+        use_s2d = os.environ.get("FT2_UNET_S2D", "0") not in ("0", "", "false")
     if cfg is None:
         cfg = config_from_params(params)
     if labels is None:
@@ -463,9 +496,12 @@ def segment_volume(params: Dict, data: np.ndarray,
     padded, crop = pad_to_divisor(norm, cfg.divisor)
     x = jnp.asarray(padded)[None, ..., None]
     pj = {k: jnp.asarray(v) for k, v in params.items()}
-    if cfg.kernel == 3 and cfg.n_levels >= 2:
-        # production path: exact space-to-depth level 0 (~1.6x the dense
-        # forward at SynthSeg's 24-channel first level; same argmax)
+    if use_s2d and cfg.kernel == 3 and cfg.n_levels >= 2:
+        # alternative inference path: exact space-to-depth level 0. Wins
+        # per-conv standalone but loses to the fused dense program in the
+        # full network on the current chip (66 vs 61 ms at 160^3) — kept
+        # selectable (FT2_UNET_S2D=1) for hardware where XLA's 3D/2D conv
+        # emitters trade differently.
         s2d = {k: jnp.asarray(v)
                for k, v in s2d_level0_params(params, cfg).items()}
         cls = np.asarray(_segment_s2d_jit(pj, s2d, x, cfg, compute_dtype))[0]
