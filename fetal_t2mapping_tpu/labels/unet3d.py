@@ -468,7 +468,8 @@ def segment_volume(params: Dict, data: np.ndarray,
                    cfg: "UNetConfig | None" = None,
                    labels: "Sequence[int] | None" = None,
                    compute_dtype=None,
-                   use_s2d: "bool | None" = None) -> np.ndarray:
+                   use_s2d: "bool | None" = None,
+                   mesh=None) -> np.ndarray:
     """Segment one (z, y, x) intensity volume -> int16 SynthSeg label map.
 
     Intensities are robust-max normalized (SynthSeg's inference-time
@@ -479,12 +480,21 @@ def segment_volume(params: Dict, data: np.ndarray,
     bfloat16 on TPU (the MXU's native input precision, fp32 accumulation)
     and float32 elsewhere; pass jnp.float32 to force full precision.
     ``use_s2d`` selects the space-to-depth level-0 program (default: the
-    FT2_UNET_S2D env var, off)."""
+    FT2_UNET_S2D env var, off).
+
+    ``mesh`` (a jax.sharding.Mesh) runs the forward spatially partitioned:
+    the volume's z axis is sharded over the mesh's first axis with weights
+    replicated, and GSPMD inserts the conv halo exchanges — the multi-chip
+    path for volumes too large for one chip's HBM (or to cut latency);
+    sharded-vs-single parity is pinned in tests/test_parallel.py."""
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                          else jnp.float32)
     if use_s2d is None:
         use_s2d = os.environ.get("FT2_UNET_S2D", "0") not in ("0", "", "false")
+    if mesh is not None and use_s2d:
+        raise ValueError("use_s2d and mesh are mutually exclusive (the S2D "
+                         "rearranges are not laid out for spatial sharding)")
     if cfg is None:
         cfg = config_from_params(params)
     if labels is None:
@@ -496,6 +506,13 @@ def segment_volume(params: Dict, data: np.ndarray,
     padded, crop = pad_to_divisor(norm, cfg.divisor)
     x = jnp.asarray(padded)[None, ..., None]
     pj = {k: jnp.asarray(v) for k, v in params.items()}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+        pj = {k: jax.device_put(v, NamedSharding(mesh, P()))
+              for k, v in pj.items()}
     if use_s2d and cfg.kernel == 3 and cfg.n_levels >= 2:
         # alternative inference path: exact space-to-depth level 0. Wins
         # per-conv standalone but loses to the fused dense program in the

@@ -335,3 +335,34 @@ class TestShardedRegistration:
                                     **dict(FAST_REG, stop_tol=None))
         for reg, T_true in zip(regs, poses):
             self._assert_recovers(reg, T_true, center)
+
+
+class TestMeshUNet:
+    """Spatially-partitioned U-Net inference: segment_volume(mesh=...)
+    shards the volume's z axis over the mesh with replicated weights;
+    GSPMD inserts the conv halo exchanges. Output must match the
+    single-device program exactly (same fp32 program, partitioned)."""
+
+    def test_segment_volume_mesh_matches_single(self):
+        from fetal_t2mapping_tpu.labels.unet3d import (
+            UNetConfig, random_params, segment_volume)
+        import jax.numpy as jnp
+
+        cfg = UNetConfig(n_levels=3, base_features=4, n_labels=7)
+        params = random_params(cfg, seed=6)
+        data = np.abs(np.random.default_rng(6).normal(
+            500, 120, (30, 17, 13))).astype(np.float32)   # pads to z=32 -> 4/shard
+        single = segment_volume(params, data, cfg, compute_dtype=jnp.float32)
+        sharded = segment_volume(params, data, cfg, compute_dtype=jnp.float32,
+                                 mesh=voxel_mesh())
+        np.testing.assert_array_equal(sharded, single)
+
+    def test_mesh_rejects_s2d(self):
+        from fetal_t2mapping_tpu.labels.unet3d import (
+            UNetConfig, random_params, segment_volume)
+
+        cfg = UNetConfig(n_levels=2, base_features=2, n_labels=3)
+        params = random_params(cfg, seed=0)
+        with np.testing.assert_raises(ValueError):
+            segment_volume(params, np.ones((8, 8, 8), np.float32), cfg,
+                           use_s2d=True, mesh=voxel_mesh())

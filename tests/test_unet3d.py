@@ -170,8 +170,8 @@ class TestSpaceToDepthLevel0:
             _s2d_kernel(np.zeros((2, 2, 2, 3, 3), np.float32))
 
     def test_segment_volume_s2d_matches_dense(self):
-        """segment_volume auto-selects the S2D path for 3^3 kernels; its
-        labels must match the dense jit path voxel for voxel."""
+        """segment_volume's selectable S2D path (use_s2d=True /
+        FT2_UNET_S2D=1) must match the dense jit path voxel for voxel."""
         import jax.numpy as jnp
 
         from fetal_t2mapping_tpu.labels.unet3d import _segment_jit
@@ -179,7 +179,7 @@ class TestSpaceToDepthLevel0:
         params = random_params(CFG, seed=4)
         data = np.abs(np.random.default_rng(4).normal(
             500, 100, (9, 13, 11))).astype(np.float32)
-        labels = segment_volume(params, data, CFG)        # S2D path
+        labels = segment_volume(params, data, CFG, use_s2d=True)
         # dense path on the same normalized/padded input
         scale = np.percentile(data[data > 0], 99.5)
         norm = np.clip(data / scale, 0.0, 1.0)
