@@ -223,9 +223,10 @@ def unet_apply(params: Dict, x: jnp.ndarray, cfg: UNetConfig = UNetConfig(),
 # * "out-form" tensor on a (D/2)^3 grid, slot r of cell q = y[2q + r]:
 #   what the 2^3 VALID conv produces. Its 8 slots per cell are exactly the
 #   2x2x2 maxpool block, so pooling to level 1 is a free slot-axis max;
-#   converting back to in-form for the next conv (_s2d_regrid) and lifting
-#   the level-1 decoder output into S2D space (_s2d_upsample_in) are pure
-#   pad/slice transposes.
+#   converting back to in-form for the next conv (_s2d_regrid) is a pure
+#   pad/slice transpose, and the level-1 decoder output enters S2D space
+#   through an upsample-folded coarse kernel (_fold_upsample_kernel) —
+#   the 2x upsample never materializes.
 #
 # The weight transform (_s2d_kernel) scatters the 27 original taps into a
 # 2^3 x (8 c_in) x (8 c_out) kernel (27/64 nonzero). That is 2.37x the
