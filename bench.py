@@ -724,9 +724,20 @@ def run_unet_bench():
               f"(bf16) / {agree_s2d:.4f} (s2d) < 0.97", file=sys.stderr)
         raise SystemExit(1)
     rate = n ** 3 / dt16
+    # honest utilization: network FLOPs / time vs the chip's measured
+    # dense-matmul rate (sizes from _conv_shapes; every level-lv conv runs
+    # at (n / 2^lv)^3 spatial resolution)
+    from fetal_t2mapping_tpu.labels.unet3d import _conv_shapes
+    gflop = 0.0
+    for name, ci, co in _conv_shapes(cfg):
+        lv = 0 if name == "head" else int(name[3])
+        k3 = 1 if name == "head" else cfg.kernel ** 3
+        gflop += 2.0 * k3 * ci * co * (n // 2 ** lv) ** 3 / 1e9
+    tfs = gflop / dt16 / 1e3
     print(f"# 160^3 U-Net forward (SynthSeg architecture, argmax labels): "
           f"bf16 z-decomposed convs {dt16*1e3:.1f} ms ({rate/1e6:.1f} M "
-          f"voxels/s), fp32 {dt32*1e3:.1f} ms, s2d-level0 alternative "
+          f"voxels/s, {tfs:.1f} TF/s effective over {gflop:.0f} GFLOP), "
+          f"fp32 {dt32*1e3:.1f} ms, s2d-level0 alternative "
           f"{dts*1e3:.1f} ms, label agreement {agree:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "unet_forward_160_voxels_per_sec",
@@ -738,6 +749,8 @@ def run_unet_bench():
         "vs_baseline": None,
         "bf16_fp32_label_agreement": round(agree, 4),
         "s2d_fp32_label_agreement": round(agree_s2d, 4),
+        "effective_tflops": round(tfs, 1),
+        "network_gflop": round(gflop, 1),
     }))
     sys.stdout.flush()
 
