@@ -114,3 +114,17 @@ def test_invitro_phantom_example(tmp_path):
 
     _assert_real_figure(os.path.join(str(tmp_path), "phantom_decay_fits.png"))
     _assert_real_figure(os.path.join(str(tmp_path), "phantom_t2map.png"))
+
+
+def test_multichip_example():
+    ex = _load_example("multichip")
+    stats = ex.main()
+
+    assert stats["n_devices"] == 8
+    f = stats["fit"]
+    assert f["max_shard_vs_single_rel"] < 1e-6      # same program, partitioned
+    assert f["max_rel_t2_err_vs_truth"] < 1e-3      # noiseless decays
+    assert f["overflow"] == 0
+    r = stats["registration"]
+    assert r["rot_err_rad"] < 0.01 and r["trans_err_mm"] < 0.5
+    assert stats["unet"]["label_agreement"] == 1.0  # fp32 GSPMD is exact
