@@ -154,6 +154,13 @@ def _conv(x, w, b, compute_dtype=jnp.float32):
     w = w.astype(compute_dtype)
     n, d, h, wd, ci = x.shape
     kz = w.shape[0]
+    if kz % 2 == 0:
+        # even kernels pad SAME asymmetrically; keep XLA's 3D semantics
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        return out + b
     xp = jnp.pad(x, ((0, 0), (kz // 2, kz // 2), (0, 0), (0, 0), (0, 0)))
     out = None
     for t in range(kz):
