@@ -9,9 +9,11 @@ L-BFGS-B starts from one fixed guess per protocol (run_t2mapping.py:38-106).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.jit
 def loglinear_init(signal, te, lo, hi, sigma0=None):
     """Initial parameter batch from a weighted log-linear fit.
 

@@ -11,6 +11,9 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,8 +52,6 @@ def fuse_orientations(
     # the host never sees the intermediate warps.
     fixed = imgs[fixed_type]
     fixed_dev = fixed.with_data(jnp.asarray(fixed.data, jnp.float32))
-    acc = fixed_dev.data
-    cov = jnp.ones_like(acc)
 
     # BOTH moving orientations solve in one jitted multi-level program
     # (register_rigid_multi): one dispatch for the cor+sag pair, with the
@@ -60,23 +61,32 @@ def fuse_orientations(
     movs = [imgs[o].with_data(jnp.asarray(imgs[o].data, jnp.float32))
             for o in moving_types]
     regs = register_rigid_multi(fixed_dev, movs, **kwargs)
-    for mov_dev, reg in zip(movs, regs):
-        # device transform: the register->warp->accumulate chain dispatches
-        # without a single host sync per orientation
-        warped = resample_to_reference(mov_dev, fixed,
-                                       transform=reg.matrix_device,
-                                       method="linear", cval=np.nan,
-                                       device=True)
-        w = warped.data
-        valid = jnp.isfinite(w)
-        acc = acc + jnp.where(valid, w, 0.0)
-        cov = cov + valid.astype(jnp.float32)
-
-    if weight_by_coverage:
-        fused = acc / cov
-    else:
-        fused = acc / float(len(ORIENTATIONS))
+    # device transform: the register->warp->combine chain dispatches
+    # without a single host sync per orientation
+    warps = tuple(
+        resample_to_reference(mov_dev, fixed, transform=reg.matrix_device,
+                              method="linear", cval=np.nan, device=True).data
+        for mov_dev, reg in zip(movs, regs))
+    fused = _fuse_combine(fixed_dev.data, warps,
+                          weight_by_coverage=weight_by_coverage)
     # device-backed result: downstream consumers (echo-to-echo
     # registration, denoise, the async NIfTI writer) keep chaining on
     # device; the download happens off the critical path
     return fixed.with_data(fused)
+
+
+@functools.partial(jax.jit, static_argnames=("weight_by_coverage",))
+def _fuse_combine(fixed_data, warps, *, weight_by_coverage: bool):
+    """Validity-weighted average of the fixed volume and its warped
+    orientations as ONE program (eager isfinite/where/add chains were ~6
+    singleton programs, each paying seconds of remote load on the
+    tunneled chip's per-process cold path)."""
+    acc = fixed_data
+    cov = jnp.ones_like(fixed_data)
+    for w in warps:
+        valid = jnp.isfinite(w)
+        acc = acc + jnp.where(valid, w, 0.0)
+        cov = cov + valid.astype(jnp.float32)
+    if weight_by_coverage:
+        return acc / cov
+    return acc / float(1 + len(warps))

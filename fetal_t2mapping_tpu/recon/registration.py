@@ -73,6 +73,18 @@ def _rigid_matrix(params, center, scale):
     return R, offset
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _matrix_4x4_jit(p, center, scale, *, mode: str):
+    """Solved params -> 4x4 world transform as ONE device program."""
+    if mode == "rigid":
+        R, offset = _rigid_matrix(p, center, scale)
+    else:
+        q = jnp.concatenate([p[:9], p[9:] * _AFFINE_T_SCALE])
+        R, offset = _affine_matrix(q, center)
+    T = jnp.eye(4, dtype=jnp.float32)
+    return T.at[:3, :3].set(R).at[:3, 3].set(offset)
+
+
 def _affine_matrix(params, center):
     """params (12,): 9 matrix perturbations + 3 translations."""
     M = jnp.eye(3) + params[:9].reshape(3, 3)
@@ -158,6 +170,20 @@ def _level_inputs(fixed_vol: Volume, fixed_data, fixed_spacing,
     return fixed_pts, fixed_vals, m_data, m_inv, m_origin
 
 
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _strided_vals(data, *, stride: int):
+    """Strided flatten as ONE program (an eager slice + reshape would be
+    two singleton programs, each costing seconds of remote load on the
+    tunneled chip's per-process cold path)."""
+    return data[::stride, ::stride, ::stride].reshape(-1)
+
+
+@jax.jit
+def _gather_vals(data, idx):
+    """Mask-voxel value gather as one program (same cold-path rationale)."""
+    return data[idx[:, 0], idx[:, 1], idx[:, 2]]
+
+
 def _fixed_level_operands(fixed_vol: Volume, fixed_data, fixed_spacing,
                           max_points: int, mask_level=None):
     """Fixed-side metric operands (sample points + values) for one level."""
@@ -174,9 +200,10 @@ def _fixed_level_operands(fixed_vol: Volume, fixed_data, fixed_spacing,
             raise ValueError("fixed_mask selects no voxels at this pyramid level")
         take = np.linspace(0, mvox.shape[0] - 1, num=int(max_points))
         mvox = mvox[take.round().astype(np.int64)]
-        world = mvox[:, ::-1].astype(np.float32) @ A.T + np.asarray(fixed_vol.origin)
-        fixed_pts = jnp.asarray(world, jnp.float32)
-        fixed_vals = fixed_data[mvox[:, 0], mvox[:, 1], mvox[:, 2]]
+        world = (mvox[:, ::-1].astype(np.float32) @ A.T
+                 + np.asarray(fixed_vol.origin)).astype(np.float32)
+        fixed_pts = jnp.asarray(world)   # f32 on host: no convert program
+        fixed_vals = _gather_vals(fixed_data, mvox.astype(np.int32))
     else:
         npts = int(np.prod(shape))
         stride = 1
@@ -186,9 +213,10 @@ def _fixed_level_operands(fixed_vol: Volume, fixed_data, fixed_spacing,
         idx = np.stack(np.meshgrid(
             *[np.arange(0, s, stride, dtype=np.float32) for s in shape],
             indexing="ij"), axis=-1)                 # (gz, gy, gx, 3) in (z,y,x)
-        world = idx[..., ::-1] @ A.T + np.asarray(fixed_vol.origin)
-        fixed_pts = jnp.asarray(world.reshape(-1, 3), jnp.float32)
-        fixed_vals = fixed_data[::stride, ::stride, ::stride].reshape(-1)
+        world = (idx[..., ::-1] @ A.T
+                 + np.asarray(fixed_vol.origin)).astype(np.float32)
+        fixed_pts = jnp.asarray(world.reshape(-1, 3))
+        fixed_vals = _strided_vals(fixed_data, stride=stride)
     return fixed_pts, fixed_vals
 
 
@@ -590,10 +618,29 @@ def _run_levels_multi_early(level_ops, center, scale, params0, lr, stop_tol,
 
 def _moving_operands(moving_vol: Volume, moving_data, moving_spacing):
     """Moving-side metric operands for one pyramid level (the moving half
-    of _level_inputs)."""
+    of _level_inputs). The tiny affine/origin stay HOST arrays — the jitted
+    drivers transfer them; eager jnp conversions would be extra device
+    work on the cold path."""
     Mi = np.linalg.inv(moving_vol.direction_matrix @ np.diag(moving_spacing))
-    return (moving_data, jnp.asarray(Mi.T, jnp.float32),
-            jnp.asarray(moving_vol.origin, jnp.float32))
+    return (moving_data, np.ascontiguousarray(Mi.T, np.float32),
+            np.asarray(moving_vol.origin, np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_shape",))
+def _stack_moving_level(datas, invs, origins, *, max_shape):
+    """Pad+stack+window one level's moving operands as ONE program (the
+    eager per-pair min/max/pad/stack ops were ~10 singleton programs per
+    level, each paying seconds of remote load on the tunneled chip's
+    per-process cold path)."""
+    los, rngs, padded = [], [], []
+    for d in datas:
+        lo = jnp.min(d)
+        los.append(lo)
+        rngs.append(jnp.maximum(jnp.max(d) - lo, 1e-6))
+        padded.append(d if tuple(d.shape) == max_shape else jnp.pad(
+            d, [(0, max_shape[i] - d.shape[i]) for i in range(3)]))
+    return (jnp.stack(padded), jnp.stack(invs), jnp.stack(origins),
+            jnp.stack(los), jnp.stack(rngs))
 
 
 def _stacked_moving_operands(movings, pyramids, level: int):
@@ -605,7 +652,7 @@ def _stacked_moving_operands(movings, pyramids, level: int):
     — a min over the padded stack would clamp to 0 for any moving whose
     true minimum is positive, redistributing its Parzen bins away from the
     single-pair metric's."""
-    datas, invs, origins, dims, los, rngs = [], [], [], [], [], []
+    datas, invs, origins, dims = [], [], [], []
     for mov, pyr in zip(movings, pyramids):
         m_dat, m_sp = pyr[level]
         md, mi, mo = _moving_operands(mov, m_dat, m_sp)
@@ -613,15 +660,21 @@ def _stacked_moving_operands(movings, pyramids, level: int):
         invs.append(mi)
         origins.append(mo)
         dims.append(np.asarray(md.shape, np.float32))
-        lo = jnp.min(md)
-        los.append(lo)
-        rngs.append(jnp.maximum(jnp.max(md) - lo, 1e-6))
     max_shape = tuple(max(int(d.shape[i]) for d in datas) for i in range(3))
-    datas = [d if tuple(d.shape) == max_shape else jnp.pad(
-        d, [(0, max_shape[i] - d.shape[i]) for i in range(3)])
-        for d in datas]
-    return (jnp.stack(datas), jnp.stack(invs), jnp.stack(origins),
-            jnp.asarray(np.stack(dims)), jnp.stack(los), jnp.stack(rngs))
+    data_b, inv_b, org_b, lo_b, rng_b = _stack_moving_level(
+        tuple(datas), tuple(invs), tuple(origins), max_shape=max_shape)
+    return (data_b, inv_b, org_b, jnp.asarray(np.stack(dims)), lo_b, rng_b)
+
+
+@jax.jit
+def _split_pairs(params, hist, final_f):
+    """Per-pair views of the multi-engine's stacked outputs as ONE program
+    (eager params[p] / h[:, p] slicing was 2 singleton programs per pair
+    on the cold path)."""
+    P = params.shape[0]
+    return tuple((params[p], tuple(h[:, p] for h in hist),
+                  None if final_f is None else final_f[p])
+                 for p in range(P))
 
 
 _AFFINE_T_SCALE = 50.0
@@ -744,12 +797,11 @@ class RegistrationResult:
     def _matrix_from_params(self, p):
         center, scale, mode = (self._solve[1], self._solve[2],
                                self._solve[4])
-        if mode == "rigid":
-            R, offset = _rigid_matrix(p, center, scale)
-        else:
-            q = jnp.concatenate([p[:9], p[9:] * _AFFINE_T_SCALE])
-            R, offset = _affine_matrix(q, jnp.asarray(center, jnp.float32))
-        return R, offset
+        # one jitted program: built eagerly, the trig/concat/scatter chain
+        # was ~10 singleton programs, each paying seconds of remote load
+        # per process on the tunneled chip
+        return _matrix_4x4_jit(p, np.asarray(center, np.float32),
+                               np.float32(scale), mode=mode)
 
     # ---- device views (no host sync)
     @property
@@ -763,19 +815,14 @@ class RegistrationResult:
         """4x4 world->world transform as a device array (float32)."""
         if self._solve is None:
             return jnp.asarray(self.matrix, jnp.float32)
-        R, offset = self._matrix_from_params(self._solve[0])
-        T = jnp.eye(4, dtype=jnp.float32)
-        return T.at[:3, :3].set(R).at[:3, 3].set(offset)
+        return self._matrix_from_params(self._solve[0])
 
     # ---- host fields (sync + cache on first access)
     @property
     def matrix(self) -> np.ndarray:
         if self._matrix is None:
-            R, offset = self._matrix_from_params(self._solve[0])
-            T = np.eye(4)
-            T[:3, :3] = np.asarray(R)
-            T[:3, 3] = np.asarray(offset)
-            self._matrix = T
+            self._matrix = np.asarray(
+                self._matrix_from_params(self._solve[0]), np.float64)
         return self._matrix
 
     @property
@@ -897,7 +944,11 @@ def register_rigid(
     radius = float(np.linalg.norm(np.asarray(fixed.physical_extent)) / 2.0) or 1.0
     scale = np.float32(radius)  # rotations optimized in radius*mm units
 
-    params = jnp.zeros(6, jnp.float32) if init_params is None else jnp.asarray(init_params, jnp.float32)
+    # np (not jnp) constants: each eager jnp constructor becomes its own
+    # singleton device program, and on the tunneled chip every first
+    # program execution costs seconds of remote load (cold-start path)
+    params = (np.zeros(6, np.float32) if init_params is None
+              else np.asarray(init_params, np.float32))
     samples = _level_samples(samples, len(levels))
     if len(sigmas) != len(levels) or len(iters) != len(levels):
         raise ValueError(
@@ -915,7 +966,7 @@ def register_rigid(
         level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
         _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
-        jnp.asarray(scale), params, jnp.float32(lr), kind=metric,
+        jnp.asarray(scale), params, np.float32(lr), kind=metric,
         mode="rigid", iters_seq=tuple(int(i) for i in iters),
         stop_tol=stop_tol, stop_window=stop_window)
     # device-lazy result: nothing syncs until a host field is touched
@@ -950,8 +1001,8 @@ def register_affine(
     :func:`register_rigid`).
     """
     center = np.asarray(fixed.center_world(), np.float32)
-    params = (jnp.zeros(12, jnp.float32) if init_params is None
-              else jnp.asarray(init_params, jnp.float32))
+    params = (np.zeros(12, np.float32) if init_params is None
+              else np.asarray(init_params, np.float32))
     samples = _level_samples(samples, len(levels))
     if len(sigmas) != len(levels) or len(iters) != len(levels):
         raise ValueError(
@@ -970,7 +1021,7 @@ def register_affine(
     params, hist, n_exec, final_f = _solve_levels(
         _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
         jnp.float32(1.0),  # scale unused in affine
-        params, jnp.float32(lr), kind=metric, mode="affine",
+        params, np.float32(lr), kind=metric, mode="affine",
         iters_seq=tuple(int(i) for i in iters),
         stop_tol=stop_tol, stop_window=stop_window)
     return RegistrationResult(
@@ -993,9 +1044,9 @@ def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
         scale, dof = np.float32(1.0), 12
     P = len(movings)
     if init_params is None:
-        params = jnp.zeros((P, dof), jnp.float32)
+        params = np.zeros((P, dof), np.float32)   # host: no device program
     else:
-        params = jnp.asarray(init_params, jnp.float32)
+        params = np.asarray(init_params, np.float32)
         if params.shape != (P, dof):
             raise ValueError(
                 f"init_params shape {params.shape} != ({P}, {dof}) for "
@@ -1020,14 +1071,13 @@ def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
         level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
         _run_levels_multi, _run_levels_multi_early, tuple(level_ops),
-        jnp.asarray(center), jnp.asarray(scale), params, jnp.float32(lr),
+        jnp.asarray(center), jnp.asarray(scale), params, np.float32(lr),
         kind=metric, mode=mode, iters_seq=tuple(int(i) for i in iters),
         stop_tol=stop_tol, stop_window=stop_window)
-    return [RegistrationResult(_solve=(params[p], center, scale,
-                                       [h[:, p] for h in hist], mode,
-                                       n_exec,
-                                       None if final_f is None
-                                       else final_f[p]))
+    split = _split_pairs(params, tuple(hist), final_f)
+    return [RegistrationResult(_solve=(split[p][0], center, scale,
+                                       list(split[p][1]), mode, n_exec,
+                                       split[p][2]))
             for p in range(P)]
 
 

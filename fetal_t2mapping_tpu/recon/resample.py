@@ -62,6 +62,17 @@ def resample_volume(vol: Volume, new_spacing: Sequence[float] = (1.0, 1.0, 1.0),
                                  device=device)
 
 
+@jax.jit
+def _compose_device_transform(T, M_inv, A_ref, ref_origin, origin):
+    """index_ref -> index_vol affine from a DEVICE world transform (one
+    program; eager slicing/matmuls would each be a singleton program
+    paying seconds of remote load per process on the tunneled chip)."""
+    R3, t3 = T[:3, :3], T[:3, 3]
+    B_T = (M_inv @ R3 @ A_ref).T
+    c = M_inv @ (R3 @ ref_origin + t3 - origin)
+    return B_T, c
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "method"))
 def _affine_gather(data, B_T, c, cval, *, shape, method):
     """Sample ``data`` at continuous (x,y,z) indices B @ idx_ref + c for every
@@ -105,21 +116,29 @@ def resample_to_reference(vol: Volume, ref: Volume, *, transform: Optional[np.nd
             and type(transform).__module__.split(".")[0] != "numpy":
         # device transform (e.g. RegistrationResult.matrix_device): compose
         # B/c ON DEVICE so a registration->warp chain never syncs the host
-        T = jnp.asarray(transform, jnp.float32)
-        R3, t3 = T[:3, :3], T[:3, 3]
-        Mi = jnp.asarray(M_inv, jnp.float32)
-        B_T = (Mi @ R3 @ jnp.asarray(A_ref, jnp.float32)).T
-        c = Mi @ (R3 @ jnp.asarray(ref.origin, jnp.float32) + t3
-                  - jnp.asarray(origin, jnp.float32))
+        # (one jitted program — eager slicing/matmuls here would each be a
+        # singleton program paying seconds of remote load per process)
+        B_T, c = _compose_device_transform(
+            jnp.asarray(transform, jnp.float32),
+            np.asarray(M_inv, np.float32), np.asarray(A_ref, np.float32),
+            np.asarray(ref.origin, np.float32), np.asarray(origin, np.float32))
     else:
+        # host transform: compose B/c in numpy and hand plain fp32 arrays
+        # to the jit — each eager jnp.asarray/convert here would become
+        # its own singleton device program, and on the tunneled chip every
+        # first program execution pays seconds of remote load (measured
+        # dominating pipeline cold-start)
         T = np.eye(4) if transform is None else np.asarray(transform, np.float64)
         B = M_inv @ T[:3, :3] @ A_ref
-        c = jnp.asarray(
+        c = np.asarray(
             M_inv @ (T[:3, :3] @ np.asarray(ref.origin) + T[:3, 3] - origin),
-            jnp.float32)
-        B_T = jnp.asarray(B.T, jnp.float32)
+            np.float32)
+        B_T = np.ascontiguousarray(B.T, np.float32)
+    data_in = vol.data
+    if isinstance(data_in, np.ndarray) and data_in.dtype == np.float64:
+        data_in = data_in.astype(np.float32)        # host cast, no program
     vals = _affine_gather(
-        jnp.asarray(vol.data), B_T, c, jnp.float32(cval),
+        data_in, B_T, c, np.float32(cval),
         shape=tuple(int(s) for s in ref.shape), method=method)
     if device:
         data = vals
