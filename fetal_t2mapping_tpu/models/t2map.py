@@ -66,6 +66,23 @@ def _init_for(cfg: FitConfig, batch, te, lo, hi):
     return np.clip(x0, lo, hi)
 
 
+@jax.jit
+def _pack_outputs(x, res, converged, n_iter, fun):
+    """All per-voxel outputs as one (C, N) stack (one download, one
+    program: see fit_stack)."""
+    cols = [x[:, i] for i in range(x.shape[1])]
+    cols += [res, converged.astype(jnp.float32),
+             n_iter.astype(jnp.float32), fun]
+    return jnp.stack(cols, axis=0)
+
+
+@jax.jit
+def _pack_traces(f_val, step_size, active):
+    return jnp.stack([jnp.asarray(f_val, jnp.float32),
+                      jnp.asarray(step_size, jnp.float32),
+                      jnp.asarray(active, jnp.float32)], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def _residual_mean(model: str, x, te, batch):
     """Signed mean-over-TEs residual, on device: (N, P), (T,), (N, T) -> (N,).
@@ -141,21 +158,18 @@ def fit_stack(
     # code). Computed on device from the still-resident params + batch;
     # the gaussian residual uses the (k, T2) columns only, the 3-param
     # models include sigma — i.e. all P fitted columns either way.
-    res_dev = _residual_mean(cfg.model, result.x, jnp.asarray(te), batch_dev)
+    res_dev = _residual_mean(cfg.model, result.x,
+                             np.asarray(te, np.float32), batch_dev)
 
     # pack every per-voxel output column into ONE device array and download
     # once: N separate np.asarray calls each pay the link's fixed RPC
-    # latency (~50 ms on a tunneled chip), the packed stack pays it once
-    xd = jnp.asarray(result.x)
-    cols = [xd[:, 0], xd[:, 1]]
-    if cfg.n_params == 3:
-        cols.append(xd[:, 2])
-    cols += [jnp.asarray(res_dev),
-             jnp.asarray(result.converged).astype(jnp.float32),
-             jnp.asarray(result.n_iter).astype(jnp.float32),
-             jnp.asarray(result.fun)]
+    # latency (~50 ms on a tunneled chip), the packed stack pays it once.
+    # The packing itself is one jitted program — eagerly it was ~8
+    # singleton programs (slices/converts/stack), each paying seconds of
+    # remote load per process on the cold path.
     with profiler.stage("t2map.fit.download"):
-        packed = np.asarray(jnp.stack(cols, axis=0))
+        packed = np.asarray(_pack_outputs(
+            result.x, res_dev, result.converged, result.n_iter, result.fun))
     fit_seconds = time.time() - t0
 
     k_v, t2_v = packed[0, :n], packed[1, :n]
@@ -181,10 +195,8 @@ def fit_stack(
             gtol=cfg.gtol,
         )
         # same packing trick: one download for the three trace planes
-        tr_packed = np.asarray(jnp.stack(
-            [jnp.asarray(traces["f_val"], jnp.float32),
-             jnp.asarray(traces["step_size"], jnp.float32),
-             jnp.asarray(traces["active"], jnp.float32)], axis=0))
+        tr_packed = np.asarray(_pack_traces(
+            traces["f_val"], traces["step_size"], traces["active"]))
         traces = {"f_val": tr_packed[0], "step_size": tr_packed[1],
                   "active": tr_packed[2] > 0.5}
 

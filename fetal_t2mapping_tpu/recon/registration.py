@@ -897,8 +897,8 @@ def _solve_levels(runner_plain, runner_early, level_ops, center, scale,
                                kind=kind, mode=mode, iters_seq=iters_seq)
         return p, hist, None, None
     p, hist, n_exec, final_f = runner_early(
-        level_ops, center, scale, params, lr, jnp.float32(stop_tol),
-        jnp.asarray(_resolve_stop_window(stop_window, kind), jnp.int32),
+        level_ops, center, scale, params, lr, np.float32(stop_tol),
+        np.int32(_resolve_stop_window(stop_window, kind)),
         kind=kind, mode=mode, iters_seq=iters_seq)
     return p, hist, n_exec, final_f
 
@@ -965,8 +965,9 @@ def register_rigid(
     if mesh is not None:
         level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
-        _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
-        jnp.asarray(scale), params, np.float32(lr), kind=metric,
+        _run_levels, _run_levels_early, level_ops,
+        np.asarray(center, np.float32), np.float32(scale), params,
+        np.float32(lr), kind=metric,
         mode="rigid", iters_seq=tuple(int(i) for i in iters),
         stop_tol=stop_tol, stop_window=stop_window)
     # device-lazy result: nothing syncs until a host field is touched
@@ -1019,8 +1020,9 @@ def register_affine(
     if mesh is not None:
         level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
-        _run_levels, _run_levels_early, level_ops, jnp.asarray(center),
-        jnp.float32(1.0),  # scale unused in affine
+        _run_levels, _run_levels_early, level_ops,
+        np.asarray(center, np.float32),
+        np.float32(1.0),  # scale unused in affine
         params, np.float32(lr), kind=metric, mode="affine",
         iters_seq=tuple(int(i) for i in iters),
         stop_tol=stop_tol, stop_window=stop_window)
@@ -1071,8 +1073,9 @@ def _register_multi(fixed: Volume, movings: Sequence[Volume], *, mode: str,
         level_ops = _shard_level_ops(level_ops, mesh)
     params, hist, n_exec, final_f = _solve_levels(
         _run_levels_multi, _run_levels_multi_early, tuple(level_ops),
-        jnp.asarray(center), jnp.asarray(scale), params, np.float32(lr),
-        kind=metric, mode=mode, iters_seq=tuple(int(i) for i in iters),
+        np.asarray(center, np.float32), np.float32(scale), params,
+        np.float32(lr), kind=metric, mode=mode,
+        iters_seq=tuple(int(i) for i in iters),
         stop_tol=stop_tol, stop_window=stop_window)
     split = _split_pairs(params, tuple(hist), final_f)
     return [RegistrationResult(_solve=(split[p][0], center, scale,
