@@ -655,3 +655,72 @@ def test_jpeg12_extended_pixels_and_convert(tmp_path):
     vol = nifti.read(out + ".nii.gz")
     assert vol.shape == (1, 24, 16)
     assert np.max(np.abs(np.asarray(vol.data)[0] - truth.astype(np.float32))) <= 4
+
+
+class TestParserCorruptionFuzz:
+    """The parser must never hang, crash, or allocate unboundedly on
+    corrupt input: every corruption of a valid Part-10 file either parses
+    (harmless corruption) or raises a controlled error (InvalidDicomError
+    or a ValueError/struct.error subclass) promptly. Deterministic seeds —
+    any failure is reproducible."""
+
+    def _valid_bytes(self, tmp_path):
+        import numpy as np
+        frames = np.random.default_rng(0).integers(
+            0, 4000, size=(2, 6, 8)).astype(np.uint16)
+        p = str(tmp_path / "fuzz_base.dcm")
+        write_test_dicom_multiframe(p, frames, ipp=(0.0, 0.0, 0.0),
+                                    iop=(1, 0, 0, 0, 1, 0),
+                                    spacing=(1.0, 1.0), dz=1.0)
+        with open(p, "rb") as f:
+            return bytearray(f.read())
+
+    def test_corruptions_fail_cleanly(self, tmp_path):
+        import struct
+        import time
+
+        import numpy as np
+
+        from fetal_t2mapping_tpu.utils.dicom import read_dcm
+
+        base = self._valid_bytes(tmp_path)
+        rng = np.random.default_rng(42)
+        n_parsed = n_raised = 0
+        for i in range(80):
+            buf = bytearray(base)
+            kind = i % 4
+            if kind == 0:      # truncation (always past the DICM magic)
+                buf = buf[:rng.integers(136, len(buf))]
+            elif kind == 1:    # single byte flip in the STRUCTURAL region
+                               # (meta header + first elements — pixel
+                               # payload flips are data, not structure)
+                j = int(rng.integers(128, min(420, len(buf))))
+                buf[j] ^= int(rng.integers(1, 256))
+            elif kind == 2:    # blast a random 4-byte window (hits VRs,
+                               # lengths, tags)
+                j = int(rng.integers(132, min(420, len(buf) - 4)))
+                buf[j:j + 4] = rng.integers(0, 256, 4).astype("uint8").tobytes()
+            else:              # length-field explosion: huge little-endian
+                               # 32-bit value somewhere in the element area
+                j = int(rng.integers(150, min(420, len(buf) - 4)))
+                buf[j:j + 4] = struct.pack("<I", 0xFFFFFFF0)
+            p = str(tmp_path / f"fuzz_{i}.dcm")
+            with open(p, "wb") as f:
+                f.write(buf)
+            t0 = time.monotonic()
+            try:
+                read_dcm(p, with_pixels=True)
+                n_parsed += 1
+            except (ValueError, struct.error, EOFError, KeyError,
+                    IndexError, MemoryError) as e:
+                # controlled failure: a typed exception, not a hang/abort.
+                # MemoryError must NOT occur (allocation guards); assert it.
+                assert not isinstance(e, MemoryError), \
+                    f"corruption {i}: unbounded allocation ({e})"
+                n_raised += 1
+            assert time.monotonic() - t0 < 10.0, \
+                f"corruption {i}: parser took >10 s"
+        # the fuzz must actually exercise both outcomes
+        assert n_raised >= 5, f"only {n_raised} corruptions raised"
+        assert n_parsed >= 5, f"only {n_parsed} corruptions parsed"
+        assert n_parsed + n_raised == 80
