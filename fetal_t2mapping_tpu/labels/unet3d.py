@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 from typing import Dict, List, Sequence, Tuple
 
@@ -421,12 +422,7 @@ def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
     # --- level-0 decoder in S2D space. dec0_0 = skip-branch (S2D conv on
     # the regridded skip) + upsample-folded branch (3^3 SAME conv on the
     # coarse dec1 output — the 2x upsample never materializes).
-    t_up = jax.lax.conv_general_dilated(
-        t.astype(compute_dtype),
-        s2d_params["dec0_0_up_w"].astype(compute_dtype),
-        window_strides=(1, 1, 1), padding="SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
+    t_up = _conv(t, s2d_params["dec0_0_up_w"], 0.0, compute_dtype)
     t_skip = _conv_s2d(_s2d_regrid(skip0), s2d_params["dec0_0_skip_w"],
                        s2d_params["dec0_0_b"], compute_dtype)
     t = jax.nn.elu(t_skip + t_up).astype(compute_dtype)
@@ -472,6 +468,27 @@ def _segment_s2d_jit(params, s2d_params, x, cfg: UNetConfig,
     return unet_apply_s2d(params, s2d_params, x, cfg, compute_dtype)
 
 
+# s2d_level0_params is a host-side transform + device upload of the
+# 8x-inflated level-0 kernels: cache it per parameter tree so repeated
+# segment_volume calls (the per-session pipeline) pay it once. Strong
+# refs to the source params keep ids stable; tiny capacity (weights are
+# tens of MB).
+_S2D_CACHE: "dict[int, tuple]" = {}
+
+
+def _s2d_params_cached(params: Dict, cfg: UNetConfig) -> Dict:
+    key = id(params)
+    hit = _S2D_CACHE.get(key)
+    if hit is not None and hit[0] is params and hit[1] == cfg:
+        return hit[2]
+    s2d = {k: jnp.asarray(v)
+           for k, v in s2d_level0_params(params, cfg).items()}
+    if len(_S2D_CACHE) >= 2:
+        _S2D_CACHE.pop(next(iter(_S2D_CACHE)))
+    _S2D_CACHE[key] = (params, cfg, s2d)
+    return s2d
+
+
 def segment_volume(params: Dict, data: np.ndarray,
                    cfg: "UNetConfig | None" = None,
                    labels: "Sequence[int] | None" = None,
@@ -494,24 +511,42 @@ def segment_volume(params: Dict, data: np.ndarray,
     the volume's z axis is sharded over the mesh's first axis with weights
     replicated, and GSPMD inserts the conv halo exchanges — the multi-chip
     path for volumes too large for one chip's HBM (or to cut latency);
-    sharded-vs-single parity is pinned in tests/test_parallel.py."""
+    sharded-vs-single parity is pinned in tests/test_parallel.py. The z
+    axis is zero-padded up to lcm(divisor, mesh size) so it splits evenly;
+    when that exceeds the single-device padding, labels within ~a receptive
+    field of the far-z face see more zero context than the unsharded
+    program would give them (the same boundary effect as any padding)."""
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                          else jnp.float32)
     if use_s2d is None:
-        use_s2d = os.environ.get("FT2_UNET_S2D", "0") not in ("0", "", "false")
+        use_s2d = (os.environ.get("FT2_UNET_S2D", "").strip().lower()
+                   in ("1", "true", "yes", "on"))
     if mesh is not None and use_s2d:
         raise ValueError("use_s2d and mesh are mutually exclusive (the S2D "
                          "rearranges are not laid out for spatial sharding)")
     if cfg is None:
         cfg = config_from_params(params)
+    if use_s2d and (cfg.kernel != 3 or cfg.n_levels < 2):
+        raise ValueError(
+            f"use_s2d needs 3^3 kernels and n_levels >= 2 (got kernel="
+            f"{cfg.kernel}, n_levels={cfg.n_levels})")
     if labels is None:
         labels = (SYNTHSEG_LABELS if cfg.n_labels == len(SYNTHSEG_LABELS)
                   else tuple(range(cfg.n_labels)))
     data = np.asarray(data, np.float32)
     scale = np.percentile(data[data > 0], 99.5) if (data > 0).any() else 1.0
     norm = np.clip(data / max(scale, 1e-6), 0.0, 1.0)
+    divisor = cfg.divisor
+    if mesh is not None:
+        # the z axis must also split evenly over the mesh; the crop strips
+        # the extra padding from the labels afterwards
+        ndev = int(mesh.devices.size)
+        divisor = divisor * ndev // math.gcd(divisor, ndev)
     padded, crop = pad_to_divisor(norm, cfg.divisor)
+    if divisor != cfg.divisor:
+        zpad = -padded.shape[0] % divisor
+        padded = np.pad(padded, ((0, zpad), (0, 0), (0, 0)))
     x = jnp.asarray(padded)[None, ..., None]
     pj = {k: jnp.asarray(v) for k, v in params.items()}
     if mesh is not None:
@@ -521,14 +556,13 @@ def segment_volume(params: Dict, data: np.ndarray,
         x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
         pj = {k: jax.device_put(v, NamedSharding(mesh, P()))
               for k, v in pj.items()}
-    if use_s2d and cfg.kernel == 3 and cfg.n_levels >= 2:
+    if use_s2d:
         # alternative inference path: exact space-to-depth level 0. Wins
         # per-conv standalone but loses to the fused dense program in the
         # full network on the current chip (66 vs 61 ms at 160^3) — kept
         # selectable (FT2_UNET_S2D=1) for hardware where XLA's 3D/2D conv
         # emitters trade differently.
-        s2d = {k: jnp.asarray(v)
-               for k, v in s2d_level0_params(params, cfg).items()}
+        s2d = _s2d_params_cached(params, cfg)
         cls = np.asarray(_segment_s2d_jit(pj, s2d, x, cfg, compute_dtype))[0]
     else:
         cls = np.asarray(_segment_jit(pj, x, cfg, compute_dtype))[0]

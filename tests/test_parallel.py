@@ -357,6 +357,24 @@ class TestMeshUNet:
                                  mesh=voxel_mesh())
         np.testing.assert_array_equal(sharded, single)
 
+    def test_mesh_non_divisible_z(self):
+        """z not a multiple of the mesh size: the volume pads up to
+        lcm(divisor, ndev), runs partitioned, and crops back — shape and
+        label validity preserved (boundary labels may see extra zero
+        context vs single-device; that's documented padding semantics)."""
+        from fetal_t2mapping_tpu.labels.unet3d import (
+            UNetConfig, random_params, segment_volume)
+        import jax.numpy as jnp
+
+        cfg = UNetConfig(n_levels=3, base_features=4, n_labels=7)
+        params = random_params(cfg, seed=8)
+        data = np.abs(np.random.default_rng(8).normal(
+            500, 120, (20, 13, 9))).astype(np.float32)  # pads 20 -> 24 on mesh
+        sharded = segment_volume(params, data, cfg, compute_dtype=jnp.float32,
+                                 mesh=voxel_mesh())
+        assert sharded.shape == data.shape
+        assert set(np.unique(sharded)) <= set(range(cfg.n_labels))
+
     def test_mesh_rejects_s2d(self):
         from fetal_t2mapping_tpu.labels.unet3d import (
             UNetConfig, random_params, segment_volume)
