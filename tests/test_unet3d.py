@@ -169,6 +169,26 @@ class TestSpaceToDepthLevel0:
         with pytest.raises(ValueError):
             _s2d_kernel(np.zeros((2, 2, 2, 3, 3), np.float32))
 
+    def test_segment_volume_rejects_s2d_on_incompatible_cfg(self):
+        """Explicit use_s2d=True must raise (not silently run dense) when
+        the architecture cannot be S2D-transformed."""
+        cfg = UNetConfig(n_levels=1, base_features=2, n_labels=3)
+        params = random_params(cfg, seed=0)
+        with pytest.raises(ValueError, match="use_s2d"):
+            segment_volume(params, np.ones((4, 4, 4), np.float32), cfg,
+                           use_s2d=True)
+
+    def test_s2d_transform_cached_per_params(self):
+        from fetal_t2mapping_tpu.labels.unet3d import _s2d_params_cached
+
+        params = random_params(CFG, seed=9)
+        a = _s2d_params_cached(params, CFG)
+        b = _s2d_params_cached(params, CFG)
+        assert a is b                       # second call is a cache hit
+        other = random_params(CFG, seed=10)
+        c = _s2d_params_cached(other, CFG)
+        assert c is not a
+
     def test_segment_volume_s2d_matches_dense(self):
         """segment_volume's selectable S2D path (use_s2d=True /
         FT2_UNET_S2D=1) must match the dense jit path voxel for voxel."""
