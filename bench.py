@@ -387,15 +387,18 @@ def run_mosaic_parity():
         x_i, f_i, conv_i = out[True]
         # model-aware comparison. gaussian (ftol 1e-9): all params + the
         # objective, tight. 3-param models at 3 TEs (ftol 1e-2): sigma is
-        # a ZERO-DOF ridge direction and the NLL at a pinned-sigma bound
-        # corner takes a large-argument i0e branch that evaluates
-        # differently between codegens at IDENTICAL x (measured: f diff
-        # 2.5 at x equal to 7 digits) — so parity is asserted on what the
-        # model determines: k and T2, at the model's own ftol scale.
+        # a ZERO-DOF ridge direction, so param parity is asserted on what
+        # the model determines (k and T2) at the model's own ftol scale —
+        # but the OBJECTIVE is gated for all models: the round-3 carve-out
+        # (NLL value diverging O(1) between codegens at a pinned-sigma
+        # corner) was a genuine fp32 cancellation in the reference-order
+        # formula, fixed by the -(|s|-|m|)^2/(2 sg^2) identity in
+        # models.fgh; with the stable form, codegen disagreement in f is
+        # bounded by where the ftol-1e-2 stop rule fires (~ftol scale).
         if model == "gaussian":
             cols, tol_x, tol_f = slice(None), 1e-3, 1e-2
         else:
-            cols, tol_x, tol_f = slice(0, 2), 1e-2, None
+            cols, tol_x, tol_f = slice(0, 2), 1e-2, 3e-2
         rel = float((np.abs(x_i[:, cols] - x_c[:, cols])
                      / np.maximum(np.abs(x_i[:, cols]), 1.0))[ident].max())
         rel_f = float((np.abs(f_i - f_c)
@@ -421,8 +424,10 @@ def run_mosaic_parity():
         "value": float(f"{worst:.3g}"),
         "unit": "max relative diff vs interpret mode on TPU over "
                 "gaussian+rician (gaussian: all params @1e-3 + objective "
-                "@1e-2; 3-param models: k/T2 @1e-2 — sigma is a 0-dof "
-                "ridge at 3 TEs)",
+                "@1e-2; 3-param models: k/T2 @1e-2 AND objective @3e-2 — "
+                "sigma is a 0-dof ridge at 3 TEs; the rician NLL value is "
+                "codegen-stable since the -(|s|-|m|)^2/(2 sg^2) identity "
+                "reformulation in models.fgh)",
         "vs_baseline": None,
     }))
     sys.stdout.flush()

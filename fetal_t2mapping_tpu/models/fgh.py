@@ -14,8 +14,17 @@ models.signal's objectives in tests/test_fgh.py.
 Objectives (numerically identical to reference run_t2mapping.py:129-177):
 - gaussian:        f = mean_t (s - k e)^2,           e = exp(-te/t2)
 - gaussian_rician: f = mean_t (s - sqrt(k^2 e^2 + sigma^2))^2
-- rician:          f = -sum_t [log s - log sigma^2 - (s^2+m^2)/(2 sigma^2)
-                              + x + log i0e(x)],     x = m s / sigma^2, m = k e
+- rician:          f = -sum_t [log s - log sigma^2 - (|s|-|m|)^2/(2 sigma^2)
+                              + log i0e(x)],         x = m s / sigma^2, m = k e
+
+The rician form is the algebraic identity -(s^2+m^2)/(2 sg^2) + |x| =
+-(|s|-|m|)^2/(2 sg^2) applied to the reference's expression
+(run_t2mapping.py:157-177, which evaluates the two huge terms separately).
+At a pinned-sigma corner the separate terms reach ~1e10 while their
+difference is O(1), so the reference order loses ALL fp32 significance and
+its value depends on codegen fma fusion (measured: interpret-vs-Mosaic
+objective diff of 2.5 at identical parameters). The squared-difference form
+is exact in the same algebra and fp32-stable for every x.
 """
 
 from __future__ import annotations
@@ -187,9 +196,10 @@ _LOG_EPS = 1e-20
 def rician_fgh(params, s, te, e_list=None):
     """Full-Newton (f, g, H) of the negative Rician log-likelihood.
 
-    Per echo: L = log s - log sg^2 - (s^2+m^2)/(2 sg^2) + x + log i0e(x),
-    x = m s / sg^2, m = k exp(-te/t2); f = -sum L (reference
-    run_t2mapping.py:157-177). Uses R = I1/I0 and R' = 1 - R/x - R^2;
+    Per echo: L = log s - log sg^2 - (|s|-|m|)^2/(2 sg^2) + log i0e(x),
+    x = m s / sg^2, m = k exp(-te/t2); f = -sum L — the fp32-stable
+    identity form of the reference objective (run_t2mapping.py:157-177;
+    see the module docstring). Uses R = I1/I0 and R' = 1 - R/x - R^2;
     the x->0 limit of R/x is 1/2 (guarded).
 
     e_list: optional precomputed [exp(-te_i/t2)] at ``params``."""
@@ -212,9 +222,13 @@ def rician_fgh(params, s, te, e_list=None):
                              0.5 - jnp.square(x) / 16.0)
         Rp = 1.0 - r_over_x - R * R
 
+        # -(s^2+m^2)/(2sg^2) + |x| == -(|s|-|m|)^2/(2sg^2): the reference's
+        # two-term order cancels ~1e10-magnitude fp32 values at a
+        # pinned-sigma corner; this form is exact and codegen-stable
+        d_sm = jnp.abs(st) - jnp.abs(m)
         L = (jnp.log(jnp.maximum(st, _LOG_EPS)) - jnp.log(sg2)
-             - (st * st + m * m) * 0.5 * inv_s2
-             + x + jnp.log(jnp.maximum(i0e(x), 1e-30)))
+             - d_sm * d_sm * 0.5 * inv_s2
+             + jnp.log(jnp.maximum(i0e(x), 1e-30)))
         f = f - L
 
         # dL/dm = (-m + R s)/sg^2 ; chain through m_k = e, m_t = m u
@@ -263,9 +277,10 @@ def rician_value_e(params, s, te):
         es.append(e)
         m = k * e
         x = m * st / sg2
+        d_sm = jnp.abs(st) - jnp.abs(m)   # see rician_fgh: stable identity
         L = (jnp.log(jnp.maximum(st, _LOG_EPS)) - jnp.log(sg2)
-             - (st * st + m * m) * 0.5 / sg2
-             + x + jnp.log(jnp.maximum(i0e(x), 1e-30)))
+             - d_sm * d_sm * 0.5 / sg2
+             + jnp.log(jnp.maximum(i0e(x), 1e-30)))
         f = f - L
     return f, es
 

@@ -9,8 +9,12 @@ finite-difference L-BFGS-B (`jac=False`).
 - gaussian_rician:  S(TE) = sqrt(k^2 exp(-2TE/T2) + sigma^2); mean-SSE
                     (Gudbjartsson & Patz 1995 first-moment approximation)
 - rician:           negative Rician log-likelihood with exp-scaled Bessel I0
-                    (Hajj et al. 2020), using log(i0e(x)) + |x| for stability
-                    exactly as the reference does (run_t2mapping.py:168-172).
+                    (Hajj et al. 2020). The reference evaluates
+                    -(s^2+m^2)/(2 sg^2) + |x| + log(i0e(x)) as separate terms
+                    (run_t2mapping.py:168-172); we apply the exact identity
+                    -(s^2+m^2)/(2 sg^2) + |x| = -(|s|-|m|)^2/(2 sg^2), which
+                    is fp32-stable at large x where the reference's order
+                    cancels ~1e10-magnitude terms (see models.fgh docstring).
 """
 
 from __future__ import annotations
@@ -55,11 +59,12 @@ def _rician_obj(params, te, signal):
     m = gauss_model(te, k, t2)
     s2 = jnp.square(sigma)
     x = m * signal / s2
+    d_sm = jnp.abs(signal) - jnp.abs(m)   # stable identity; see module doc
     ll = jnp.sum(
         jnp.log(jnp.maximum(signal, _LOG_EPS))
         - jnp.log(s2)
-        - (jnp.square(signal) + jnp.square(m)) / (2.0 * s2)
-        + (jnp.abs(x) + jnp.log(i0e(x)))
+        - jnp.square(d_sm) / (2.0 * s2)
+        + jnp.log(i0e(x))
     )
     return -ll
 

@@ -63,6 +63,39 @@ def test_i0e_matches_jax():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_rician_value_stable_at_pinned_sigma_corner():
+    """The NLL's fp32 value must track the f64 reference-order evaluation
+    even where x = m s / sigma^2 ~ 1e7 (sigma pinned at its lower bound).
+
+    The reference order (run_t2mapping.py:168-172) computes
+    -(s^2+m^2)/(2 sg^2) and +|x| as separate ~1e10-magnitude terms whose
+    O(1) difference has NO fp32 significance — its value flips by O(1)
+    with codegen fma choices (the round-3 Mosaic-parity carve-out). The
+    identity form -(|s|-|m|)^2/(2 sg^2) is exact algebra and must agree
+    with the f64 reference to fp32 relative tolerance."""
+    from scipy.special import i0e as sp_i0e
+
+    te = TES
+    k, t2, sg = 3000.0, 120.0, 1.0
+    s_vals = [k * np.exp(-t / t2) + 5.0 for t in te]
+
+    def ref_f64(k, t2, sg, s, te):
+        f = 0.0
+        for st, t in zip(s, te):
+            m = k * np.exp(-t / t2)
+            x = m * st / sg ** 2
+            f -= (np.log(st) - np.log(sg ** 2)
+                  - (st ** 2 + m ** 2) / (2 * sg ** 2)
+                  + abs(x) + np.log(sp_i0e(x)))
+        return f
+
+    f32 = float(fgh.rician_value(
+        (jnp.float32(k), jnp.float32(t2), jnp.float32(sg)),
+        [jnp.asarray([sv], jnp.float32) for sv in s_vals], te)[0])
+    f64 = ref_f64(k, t2, sg, s_vals, te)
+    assert abs(f32 - f64) / abs(f64) < 1e-4, (f32, f64)
+
+
 def test_bessel_ratio_limits():
     # R(x) ~ x/2 for small x, -> 1 for large x, monotone in between
     x = jnp.asarray([1e-6, 1e-3, 0.1, 1.0, 10.0, 100.0, 1e5], jnp.float32)
