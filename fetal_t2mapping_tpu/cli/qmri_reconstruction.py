@@ -43,6 +43,10 @@ def parse_arguments(argv=None):
                              "SetMetricFixedMask design (registration_itk); "
                              "pass an explicit fixed_mask through the API "
                              "to isolate a structure instead")
+    parser.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="Shard device work over the first N devices: "
+                             "registration metric samples and jax-mode "
+                             "SynthSeg inference (jax.sharding mesh)")
     return parser.parse_args(argv)
 
 
@@ -55,6 +59,13 @@ def main(argv=None):
     bids_path = os.path.join(args.path, "projects/")
     csv_path = os.path.join(args.path, "dicom/logs/")
     metadata = set_metadata(csv_path, args.csv, args.lf)
+    from ..parallel.mesh import mesh_from_flag
+
+    try:
+        mesh = mesh_from_flag(args.mesh)
+    except ValueError as exc:
+        print(f"Error: {exc}", file=sys.stderr)
+        return 1
     process_qmri(
         bids_path, metadata,
         in_vivo=args.in_vivo,
@@ -63,6 +74,7 @@ def main(argv=None):
         seeds_key=args.seeds,
         registration_kwargs=(dict(fixed_mask="auto")
                              if args.masked_metric else None),
+        mesh=mesh,
     )
     return 0
 

@@ -45,6 +45,10 @@ def parse_arguments(argv=None):
                         help="Per-voxel M0 lower bound = signal at min TE")
     parser.add_argument("--norm", action="store_true", default=False,
                         help="Normalize T2w signal per voxel (not recommended)")
+    parser.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="Shard every session's voxel fit over the first "
+                             "N devices (jax.sharding mesh) — the TPU "
+                             "equivalent of the reference's Pool(20) fan-out")
     return parser.parse_args(argv)
 
 
@@ -66,12 +70,20 @@ def main(argv=None):
 
     cfg = C.fit_config(model, low_field, prior=not args.no_prior, norm=args.norm)
     metadata = set_metadata(csv_path, args.csv, low_field)
+    from ..parallel.mesh import mesh_from_flag
+
+    try:
+        mesh = mesh_from_flag(args.mesh)
+    except ValueError as exc:
+        print(f"Error: {exc}", file=sys.stderr)
+        return 1
     process_t2maps(
         metadata, bids_path, tes, cfg,
         phantom=args.in_vitro or args.in_vitro_fast,
         low_field=low_field,
         fast=args.in_vitro_fast,
         sim=args.sim,
+        mesh=mesh,
     )
     return 0
 

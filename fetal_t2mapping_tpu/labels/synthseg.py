@@ -36,6 +36,7 @@ class SynthSegRunner:
     command_template: str = DEFAULT_CMD
     fn: Optional[Callable[[str, str], None]] = None
     weights: Optional[str] = None  # .npz for mode='jax' ($FT2_SYNTHSEG_WEIGHTS)
+    mesh: Optional[object] = None  # jax.sharding.Mesh: 'jax' mode shards z over it
 
     def available(self) -> bool:
         if self.mode == "subprocess":
@@ -76,7 +77,8 @@ class SynthSegRunner:
         params = load_params(weights)
         for path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
             vol = nifti.read(path)
-            labels = segment_volume(params, np.asarray(vol.data))
+            labels = segment_volume(params, np.asarray(vol.data),
+                                    mesh=self.mesh)
             base = os.path.basename(path).replace(".nii.gz", "_synthseg.nii.gz")
             nifti.write(os.path.join(output_dir, base),
                         vol.with_data(labels), dtype=np.int16)

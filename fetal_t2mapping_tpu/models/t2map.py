@@ -95,6 +95,69 @@ def _residual_mean(model: str, x, te, batch):
     return jnp.mean(batch - pred, axis=1)
 
 
+def _fused_bounds(cfg: FitConfig):
+    """(lo, hi, no_prior flag) for the fused kernel path, which derives the
+    per-voxel no-prior k bound in-kernel from the resident signal tile."""
+    if cfg.prior:
+        return cfg.lower, cfg.upper, False
+    lo_f = (0.0, NO_PRIOR_T2_BOUNDS[0])
+    hi_f = (NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS[1])
+    return lo_f, hi_f, True
+
+
+def _fit_batch_mesh(cfg: FitConfig, batch: np.ndarray, te: np.ndarray, mesh):
+    """Mesh-sharded fit of the gathered batch — the product-layer analogue
+    of the reference's Pool(20) voxel fan-out (run_t2mapping.py:442-443).
+
+    The fused-kernel-eligible configs (every production row except
+    no-prior 3-param) go through parallel.mesh.fit_fused_sharded: the whole
+    fit shard_maps over the voxel axis with zero inter-chip traffic except
+    the scalar n_overflow psum. The remaining combos shard the batch's
+    voxel axis with a NamedSharding and let GSPMD partition the vmapped
+    multistart solve."""
+    from ..parallel.mesh import VOXEL_AXIS, fit_fused_sharded, shard_voxels
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # top up the bucket padding to a mesh-divisible row count (buckets are
+    # powers of two / 8192-multiples, so this is usually a no-op on
+    # power-of-two meshes)
+    q = mesh.devices.size * 128
+    n_rows = batch.shape[0]
+    n_pad = -(-n_rows // q) * q
+    if n_pad != n_rows:
+        batch = np.concatenate(
+            [batch, np.broadcast_to(batch[-1], (n_pad - n_rows,) + batch.shape[1:])])
+
+    if cfg.loglinear_init and (cfg.prior or cfg.model == "gaussian"):
+        lo_f, hi_f, np_flag = _fused_bounds(cfg)
+        result = fit_fused_sharded(
+            batch, tuple(float(t) for t in te), lo_f, hi_f, mesh,
+            model=cfg.model, guess=cfg.initial_guess, max_iters=cfg.max_iters,
+            ftol=cfg.ftol, gtol=cfg.gtol, no_prior=np_flag)
+        return result, shard_voxels(batch, mesh)
+
+    # no-prior 3-param (and any custom non-loglinear config): sharded
+    # placement + the existing multistart program; XLA partitions the
+    # voxel-elementwise while_loop solve across the mesh
+    lo, hi = _bounds_for(cfg, batch)
+    x0 = np.asarray(_init_for(cfg, batch, te, lo, hi))
+    x0_cfg = np.clip(np.tile(np.asarray(cfg.initial_guess, np.float32),
+                             (batch.shape[0], 1)), lo, hi)
+    if cfg.n_params == 3:
+        x0s = np.stack([x0, np.asarray(grid_init(batch, te, lo, hi)), x0_cfg])
+    else:
+        x0s = np.stack([x0])
+    batch_dev = shard_voxels(batch, mesh)
+    x0s_dev = jax.device_put(
+        x0s, NamedSharding(mesh, P(None, VOXEL_AXIS, None)))
+    lo_dev = shard_voxels(lo, mesh)
+    hi_dev = shard_voxels(hi, mesh)
+    result = fit_batch_multistart(
+        batch_dev, te, x0s_dev, lo_dev, hi_dev, model=cfg.model,
+        max_iters=cfg.max_iters, ftol=cfg.ftol, gtol=cfg.gtol)
+    return result, batch_dev
+
+
 def fit_stack(
     stack: EchoStack,
     cfg: FitConfig,
@@ -102,8 +165,14 @@ def fit_stack(
     trace_samples: int = 50,
     seed: int = 0,
     granule: int = 8192,
+    mesh=None,
 ) -> T2FitOutput:
-    """Fit every masked voxel of the stack and assemble output maps."""
+    """Fit every masked voxel of the stack and assemble output maps.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) shards the voxel axis of the fit
+    over the mesh devices — the product-layer equivalent of the
+    reference's ``Pool(processes=20)`` fan-out (run_t2mapping.py:442-443).
+    Maps, traces and semantics are identical to the single-device path."""
     batch, flat_idx, n = stack.gather(granule=granule)
     te = np.asarray(stack.tes, np.float32)
 
@@ -112,25 +181,26 @@ def fit_stack(
         batch = batch / np.maximum(batch.max(axis=1, keepdims=True), 1e-12)
 
     t0 = time.time()
-    use_fused = (cfg.loglinear_init and jax.default_backend() != "cpu"
-                 and (cfg.prior or cfg.model == "gaussian"))
-    # ONE host->device upload of the batch, shared by the fit and the
-    # residual program below (repeated np-array arguments would re-upload)
-    batch_dev = jnp.asarray(batch, jnp.float32)
-    if not use_fused:
+    if mesh is not None:
+        result, batch_dev = _fit_batch_mesh(cfg, batch, te, mesh)
+        use_fused = False
+    else:
+        use_fused = (cfg.loglinear_init and jax.default_backend() != "cpu"
+                     and (cfg.prior or cfg.model == "gaussian"))
+        # ONE host->device upload of the batch, shared by the fit and the
+        # residual program below (repeated np-array args would re-upload)
+        batch_dev = jnp.asarray(batch, jnp.float32)
+    if mesh is None and not use_fused:
         # the fused path derives bounds/starts in-kernel; the (N, P) host
         # arrays (~270 MB at 256^3) are only needed by the vmapped solver
         lo, hi = _bounds_for(cfg, batch)
         x0 = _init_for(cfg, batch, te, lo, hi)
-    if use_fused:
+    if mesh is not None:
+        pass  # fitted above
+    elif use_fused:
         # the fused Pallas kernel path (in-kernel 3-start multistart for the
         # non-convex 3-param models; in-kernel per-voxel no-prior k bound)
-        if cfg.prior:
-            lo_f, hi_f, np_flag = cfg.lower, cfg.upper, False
-        else:
-            lo_f = (0.0, NO_PRIOR_T2_BOUNDS[0])
-            hi_f = (NO_PRIOR_K_UPPER, NO_PRIOR_T2_BOUNDS[1])
-            np_flag = True
+        lo_f, hi_f, np_flag = _fused_bounds(cfg)
         result = fit_fused(
             batch_dev, te, lo_f, hi_f, model=cfg.model,
             guess=cfg.initial_guess, max_iters=cfg.max_iters,

@@ -32,6 +32,22 @@ def voxel_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = No
     return Mesh(np.asarray(devices), (VOXEL_AXIS,))
 
 
+def mesh_from_flag(n_devices: Optional[int]) -> Optional[Mesh]:
+    """CLI ``--mesh N`` -> a voxel mesh over the first N visible devices.
+
+    None / 0 / 1 mean single-device (no mesh); asking for more devices than
+    JAX exposes is a user error surfaced with the visible count (on a CPU
+    host, XLA_FLAGS=--xla_force_host_platform_device_count=N exposes N
+    virtual devices)."""
+    if not n_devices or n_devices <= 1:
+        return None
+    avail = len(jax.devices())
+    if n_devices > avail:
+        raise ValueError(
+            f"--mesh {n_devices}: only {avail} device(s) visible to JAX")
+    return voxel_mesh(n_devices)
+
+
 def pad_to_devices(n: int, mesh: Mesh, lane: int = 128) -> int:
     """Smallest N' >= n divisible by (#devices * lane) for clean sharding."""
     q = mesh.devices.size * lane

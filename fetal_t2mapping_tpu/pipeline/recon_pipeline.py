@@ -398,10 +398,24 @@ def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
 def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
                  low_field: bool, synthseg: Optional[SynthSegRunner] = None,
                  seeds_key: str = C.DEFAULT_PHANTOM_SEEDS_KEY,
-                 registration_kwargs: Optional[dict] = None) -> None:
-    """Full stage-2 pipeline (reference run_qmri_reconstruction.py:5-92)."""
+                 registration_kwargs: Optional[dict] = None,
+                 mesh=None) -> None:
+    """Full stage-2 pipeline (reference run_qmri_reconstruction.py:5-92).
+
+    ``mesh`` (a ``jax.sharding.Mesh``) spreads the stage's device work over
+    the mesh: every rigid/affine registration solve shards its metric-sample
+    axis (recon.registration ``mesh=``), and jax-mode SynthSeg inference
+    shards the U-Net's z axis (labels.unet3d ``mesh=``). Results are
+    identical to the single-device run."""
     from ..utils.profiling import profiler
 
+    if mesh is not None:
+        registration_kwargs = dict(registration_kwargs or {})
+        registration_kwargs.setdefault("mesh", mesh)
+        if synthseg is not None and getattr(synthseg, "mesh", None) is None:
+            import dataclasses as _dc
+
+            synthseg = _dc.replace(synthseg, mesh=mesh)
     try:
         _process_qmri_stages(
             bids_path, metadata, in_vivo=in_vivo, low_field=low_field,

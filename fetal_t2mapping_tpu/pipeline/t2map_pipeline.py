@@ -94,6 +94,7 @@ def process_t2maps(
     sim: str = "0",
     make_plots: bool = True,
     prefetch: bool = True,
+    mesh=None,
 ) -> list:
     """Fit every (prj, sub, ses) in the metadata; returns per-session summaries.
 
@@ -102,6 +103,10 @@ def process_t2maps(
     (run_t2mapping.py:393-400); sessions missing any selected TE are skipped
     with a warning (:388-390). ``prefetch=False`` disables the load/fit
     overlap (e.g. on memory-tight hosts: it holds two echo stacks at once).
+    ``mesh`` (a ``jax.sharding.Mesh``) shards every session's voxel fit over
+    the mesh devices — the product surface for the reference's only real
+    parallelism, the ``Pool(processes=20)`` voxel fan-out
+    (run_t2mapping.py:442-443); maps are identical to the single-device run.
     """
     tes = list(tes)
     tes_in_seconds = [t / 1000.0 for t in tes]
@@ -123,7 +128,8 @@ def process_t2maps(
                 pending = None
             summaries.append(_fit_one(job, recons, masks, label_vol, bids_path,
                                       cfg, phantom=phantom, low_field=low_field,
-                                      fast=fast, sim=sim, make_plots=make_plots))
+                                      fast=fast, sim=sim, make_plots=make_plots,
+                                      mesh=mesh))
     finally:
         if ex:
             # if _fit_one raised for session i, the already-submitted
@@ -178,7 +184,7 @@ def _drain_plots() -> None:
 
 def _fit_one(job: dict, recons, masks, label_vol, bids_path: str,
              cfg: C.FitConfig, *, phantom: bool, low_field: bool, fast: bool,
-             sim: str, make_plots: bool) -> dict:
+             sim: str, make_plots: bool, mesh=None) -> dict:
     prj, sub, ses, acq = job["prj"], job["sub"], job["ses"], job["acq"]
     te_found = job["te_found"]
     stack = EchoStack.from_volumes(recons, masks, te_found)
@@ -195,7 +201,7 @@ def _fit_one(job: dict, recons, masks, label_vol, bids_path: str,
              prj, sub, ses, stack.grid_shape, int(stack.mask.sum()),
              te_found, cfg.model)
     with profiler.stage("t2map.fit", items=int(stack.mask.sum())):
-        out = fit_stack(stack, cfg)
+        out = fit_stack(stack, cfg, mesh=mesh)
     log.info("fit done in %.3f s (%.0f voxels/s)", out.fit_seconds,
              out.n_voxels / max(out.fit_seconds, 1e-9))
 
