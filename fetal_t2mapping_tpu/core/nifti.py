@@ -16,6 +16,7 @@ from __future__ import annotations
 import gzip
 import os
 import struct
+import zlib
 from typing import Optional
 
 import numpy as np
@@ -147,11 +148,32 @@ def read(path: str) -> Volume:
     # (FT2_VOLCACHE=0, or over the cache cap): exists() already reports
     # the path present, so make that true before touching the bytes
     volcache.wait(path)
-    raw = native.read_file(path) if native.available() else None
-    if raw is None:
-        with _open(path, "rb") as f:
-            raw = f.read()
-    return parse(raw, name=str(path))
+    return parse(_load_raw(path), name=str(path))
+
+
+def _load_raw(path: str) -> bytes:
+    """gz-transparent byte load with a uniform error contract.
+
+    A missing file raises FileNotFoundError; a corrupt or truncated
+    (gzip) payload raises ValueError — from BOTH the native runtime
+    (ft2_read_file status codes surface as OSError) and the Python
+    fallback (gzip.BadGzipFile / EOFError / zlib.error). The CLI reads
+    arbitrary user NIfTIs, so decompression failures must be typed and
+    attributable, never backend-dependent."""
+    from .. import native
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    try:
+        raw = native.read_file(path) if native.available() else None
+        if raw is None:
+            with _open(path, "rb") as f:
+                raw = f.read()
+        return raw
+    except FileNotFoundError:
+        raise
+    except (OSError, EOFError, zlib.error) as exc:
+        raise ValueError(f"{path}: unreadable NIfTI payload ({exc})") from exc
 
 
 def read_batch(paths, n_threads: int = 8):
@@ -171,8 +193,12 @@ def read_batch(paths, n_threads: int = 8):
         for _, p in misses:
             volcache.wait(p)       # see read(): queued-but-uncached writes
         mpaths = [p for _, p in misses]
-        raws = (native.read_batch(mpaths, n_threads)
-                if native.available() else None)
+        try:
+            raws = (native.read_batch(mpaths, n_threads)
+                    if native.available() else None)
+        except OSError:
+            raws = None   # per-path read() re-raises with the uniform
+            #               contract AND attributes the failing file
         if raws is None:
             for i, p in misses:
                 out[i] = read(p)
@@ -198,8 +224,17 @@ def flush_writes() -> None:
 
 
 def parse(raw: bytes, name: str = "<bytes>") -> Volume:
-    """Decode an in-memory NIfTI-1 byte string into a Volume."""
+    """Decode an in-memory NIfTI-1 byte string into a Volume.
+
+    Error contract (the CLI reads arbitrary user files): any structural
+    corruption raises ValueError naming the file — never struct.error, a
+    hang, or an unbounded allocation (np.frombuffer validates its count
+    against the buffer BEFORE allocating, so a forged dim field cannot
+    commit memory)."""
     path = name
+    if len(raw) < _HDR_SIZE:
+        raise ValueError(
+            f"{path}: truncated NIfTI header ({len(raw)} < {_HDR_SIZE} bytes)")
     sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
     endian = "<"
     if sizeof_hdr != _HDR_SIZE:
@@ -230,9 +265,20 @@ def parse(raw: bytes, name: str = "<bytes>") -> Volume:
     qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
     sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
 
+    if any(d < 0 for d in shape_xyz):
+        raise ValueError(f"{path}: negative dimension in header, dim={dim}")
     nvox = int(np.prod(shape_xyz))
+    if not np.isfinite(vox_offset) or vox_offset < 0:
+        raise ValueError(f"{path}: invalid vox_offset {vox_offset}")
     offset = int(vox_offset) if vox_offset else _HDR_SIZE + 4
-    data = np.frombuffer(raw, dtype=dtype, count=nvox, offset=offset)
+    try:
+        # frombuffer validates count*itemsize against the buffer BEFORE
+        # allocating: a forged 32767^3 dim cannot commit memory
+        data = np.frombuffer(raw, dtype=dtype, count=nvox, offset=offset)
+    except ValueError as exc:
+        raise ValueError(
+            f"{path}: payload smaller than header dims "
+            f"{shape_xyz} @ offset {offset} ({exc})") from exc
     # NIfTI voxels are Fortran-ordered in (x,y,z) == C-ordered in (z,y,x)
     data = data.reshape(shape_xyz[::-1])
 
@@ -261,6 +307,10 @@ def parse(raw: bytes, name: str = "<bytes>") -> Volume:
     else:
         aff = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0, pixdim[3] or 1.0, 1.0])
 
+    if not np.all(np.isfinite(aff)):
+        # NaN/inf spacing or origin would silently poison every downstream
+        # physical-space computation (resampling, registration, fusion)
+        raise ValueError(f"{path}: non-finite geometry in header affine")
     spacing, origin, direction = _affine_ras_to_itk(aff)
     return Volume(data=data, spacing=spacing, origin=origin, direction=direction)
 

@@ -58,7 +58,17 @@ static int read_file_impl(const char* path, uint8_t** out, uint64_t* len) {
         cap - total > (1u << 30) ? (1u << 30) : cap - total);
     int n = gzread(f, buf + total, chunk);
     if (n < 0) { free(buf); gzclose(f); return -3; }
-    if (n == 0) break;
+    if (n == 0) {
+      // gzread returns 0 both at a clean end-of-stream AND when the last
+      // gzip member is TRUNCATED (it reports the premature end only via
+      // gzerror as Z_BUF_ERROR, not as a negative return). Returning the
+      // partial inflate as success would silently hand a short payload to
+      // the NIfTI/DICOM parsers — surface it as a read error instead.
+      int errnum = Z_OK;
+      gzerror(f, &errnum);
+      if (errnum != Z_OK || !gzeof(f)) { free(buf); gzclose(f); return -3; }
+      break;
+    }
     total += static_cast<uint64_t>(n);
   }
   gzclose(f);

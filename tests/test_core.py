@@ -129,3 +129,125 @@ class TestEchoStack:
         assert pad_bucket(8192) == 8192
         assert pad_bucket(8193) == 16384
         assert pad_bucket(100000) == 104 * 1024
+
+
+class TestNiftiCorruptionFuzz:
+    """Structural-corruption fuzz over the NIfTI codec (VERDICT r3 task 7).
+
+    The ingest pipeline only feeds core.nifti files it wrote itself, but the
+    CLIs read ARBITRARY user NIfTIs. Contract (mirrors the DICOM parser
+    fuzz, tests/test_dcm2nifti.py): every corruption of a valid file either
+    parses (harmless corruption) or raises a typed, file-attributed
+    ValueError — never struct.error, a hang, or an unbounded allocation —
+    identically for the native (ft2io) and pure-Python byte paths.
+    Deterministic seeds: any failure is reproducible."""
+
+    def _valid_file(self, tmp_path, gz):
+        rng = np.random.default_rng(3)
+        vol = Volume(rng.normal(100.0, 20.0, (6, 8, 10)).astype(np.float32),
+                     spacing=(1.0, 1.2, 2.0), origin=(-4.0, 3.0, 7.0))
+        p = str(tmp_path / ("fuzz_base.nii" + (".gz" if gz else "")))
+        nifti.write(p, vol, dtype=np.float32)
+        with open(p, "rb") as f:
+            return p, bytearray(f.read())
+
+    @pytest.mark.parametrize("native_io", [True, False])
+    def test_nii_corruptions_fail_cleanly(self, tmp_path, monkeypatch,
+                                          native_io):
+        import struct
+        import time
+
+        from fetal_t2mapping_tpu import native
+        from fetal_t2mapping_tpu.core import volcache
+
+        if native_io and not native.available():
+            pytest.skip("native IO runtime unavailable")
+        if not native_io:
+            monkeypatch.setattr(native, "available", lambda: False)
+        monkeypatch.setattr(volcache, "get", lambda path: None)  # force disk
+
+        _, base = self._valid_file(tmp_path, gz=False)
+        rng = np.random.default_rng(42)
+        n_parsed = n_raised = 0
+        for i in range(100):
+            buf = bytearray(base)
+            kind = i % 5
+            if kind == 0:      # truncation anywhere (header or payload)
+                buf = buf[:int(rng.integers(0, len(buf)))]
+            elif kind == 1:    # byte flip in the 348-byte header
+                j = int(rng.integers(0, 348))
+                buf[j] ^= int(rng.integers(1, 256))
+            elif kind == 2:    # blast a 4-byte header window (dims, codes,
+                               # pixdims, offsets, srow)
+                j = int(rng.integers(0, 344))
+                buf[j:j + 4] = rng.integers(0, 256, 4).astype("u1").tobytes()
+            elif kind == 3:    # dimension-field explosion: huge int16 dims
+                               # (a forged 32767^3 grid must not allocate)
+                vals = rng.integers(-32768, 32767, 8).astype("i2")
+                vals[0] = int(rng.integers(0, 8))
+                buf[40:56] = vals.tobytes()
+            else:              # vox_offset / scl fields: NaN, inf, negative
+                v = float(rng.choice([np.nan, np.inf, -np.inf, -1e9, 1e18]))
+                off = int(rng.choice([108, 112, 116]))
+                buf[off:off + 4] = struct.pack("<f", v)
+            p = str(tmp_path / f"fuzz_{int(native_io)}_{i}.nii")
+            with open(p, "wb") as f:
+                f.write(bytes(buf))
+            t0 = time.monotonic()
+            try:
+                v = nifti.read(p)
+                assert np.asarray(v.data).nbytes < (1 << 26)
+                n_parsed += 1
+            except ValueError as e:
+                assert p in str(e) or "fuzz_" in str(e), e  # attributed
+                n_raised += 1
+            except MemoryError as e:
+                raise AssertionError(
+                    f"corruption {i}: unbounded allocation ({e})")
+            assert time.monotonic() - t0 < 10.0, \
+                f"corruption {i}: reader took >10 s"
+        # the mutation schedule must actually exercise both outcomes
+        assert n_raised >= 20, (n_parsed, n_raised)
+        assert n_parsed >= 5, (n_parsed, n_raised)
+
+    @pytest.mark.parametrize("native_io", [True, False])
+    def test_gz_corruptions_fail_cleanly(self, tmp_path, monkeypatch,
+                                         native_io):
+        import time
+
+        from fetal_t2mapping_tpu import native
+        from fetal_t2mapping_tpu.core import volcache
+
+        if native_io and not native.available():
+            pytest.skip("native IO runtime unavailable")
+        if not native_io:
+            monkeypatch.setattr(native, "available", lambda: False)
+        monkeypatch.setattr(volcache, "get", lambda path: None)
+
+        _, base = self._valid_file(tmp_path, gz=True)
+        rng = np.random.default_rng(7)
+        n_raised = 0
+        for i in range(40):
+            buf = bytearray(base)
+            if i % 2 == 0:     # truncate the gzip stream (mid-member)
+                buf = buf[:int(rng.integers(1, len(buf)))]
+            else:              # corrupt a byte of the deflate stream/CRC
+                j = int(rng.integers(2, len(buf)))
+                buf[j] ^= int(rng.integers(1, 256))
+            p = str(tmp_path / f"gzfuzz_{int(native_io)}_{i}.nii.gz")
+            with open(p, "wb") as f:
+                f.write(bytes(buf))
+            t0 = time.monotonic()
+            try:
+                nifti.read(p)
+            except ValueError:
+                n_raised += 1   # uniform contract on BOTH io paths
+            assert time.monotonic() - t0 < 10.0
+        assert n_raised >= 10, n_raised
+
+    def test_missing_file_is_file_not_found(self, tmp_path, monkeypatch):
+        from fetal_t2mapping_tpu.core import volcache
+
+        monkeypatch.setattr(volcache, "get", lambda path: None)
+        with pytest.raises(FileNotFoundError):
+            nifti.read(str(tmp_path / "nope.nii.gz"))
