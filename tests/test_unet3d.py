@@ -79,7 +79,8 @@ def test_runner_jax_mode(tmp_path):
 
     orig = unet3d.segment_volume
     try:
-        unet3d.segment_volume = lambda p, d, cfg=CFG: orig(p, d, CFG)
+        unet3d.segment_volume = \
+            lambda p, d, cfg=CFG, **kw: orig(p, d, CFG, **kw)
         runner.run(str(in_dir), str(out_dir))
     finally:
         unet3d.segment_volume = orig
