@@ -216,11 +216,50 @@ def exists(path) -> bool:
     return volcache.pending(path) or os.path.exists(path)
 
 
-def flush_writes() -> None:
-    """Block until every queued :func:`write_async` has landed on disk."""
+_DEFER_DEPTH = 0
+
+
+def flush_writes(force: bool = False) -> None:
+    """Block until every queued :func:`write_async` has landed on disk.
+
+    Inside a :func:`deferred_flushes` context this is a no-op unless
+    ``force=True`` — pass force before handing FILES to a consumer outside
+    this process (an external subprocess, a user callback that does its
+    own IO). In-process readers never need a flush: :func:`read`/
+    :func:`exists` serve queued writes from the volume cache."""
     from . import volcache
 
+    if _DEFER_DEPTH and not force:
+        return
     volcache.flush()
+
+
+class deferred_flushes:
+    """Context manager: make intermediate :func:`flush_writes` calls no-ops.
+
+    The composite pipelines wrap their stage sequence in this so the
+    per-stage flush barriers (every public stage drains the write queue on
+    exit) collapse into ONE flush at the pipeline boundary: the writer
+    pool keeps draining downloads/encodes in the background, overlapping
+    them with the next stages' compute instead of serializing stage-end
+    waits on the ~5 MB/s device link. Within the context the
+    filesystem-is-checkpoint contract is served by the volume cache
+    (read/read_batch/exists all consult queued writes); anything that
+    hands a PATH to an out-of-process consumer must flush_writes(force=True)
+    first. Re-entrant; the OUTERMOST exit performs a real flush (so the
+    contract holds at the context boundary even on error paths)."""
+
+    def __enter__(self):
+        global _DEFER_DEPTH
+        _DEFER_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _DEFER_DEPTH
+        _DEFER_DEPTH -= 1
+        if _DEFER_DEPTH == 0:
+            flush_writes()
+        return False
 
 
 def parse(raw: bytes, name: str = "<bytes>") -> Volume:
@@ -331,6 +370,22 @@ def _cast_for_disk(vol: Volume, dtype):
     if not hasattr(data, "astype"):
         data = np.asarray(data)
     if np.dtype(data.dtype) != target:
+        if np.dtype(data.dtype).kind == "f" and target.kind in "iu":
+            # float -> integer storage (integer-typed checkpoint files, e.g.
+            # resampled intermediates mirroring the reference's pixel-type-
+            # preserving sitk.Resample, qmri_utils.py:78-80): round-half-even
+            # and clamp to the target range instead of C-cast truncation/
+            # wraparound; NaN (fusion's out-of-FOV marker) stores as 0. All
+            # three ops are lazy on device arrays, so a device volume's
+            # quantization rides the accelerator and HALVES what crosses the
+            # host link (uint16 vs float32).
+            info = np.iinfo(target)
+            data = data.clip(info.min, info.max).round()
+            if isinstance(data, np.ndarray):
+                data = np.nan_to_num(data, nan=0.0)
+            else:
+                import jax.numpy as jnp
+                data = jnp.nan_to_num(data, nan=0.0)
         data = data.astype(target)
     return data
 
@@ -376,7 +431,18 @@ def write_async(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> Non
             raise
         volcache.mark_written(path)
         return
-    volcache.submit_write(path, lambda: _write_payload(path, np.asarray(data), vol))
+    def _payload():
+        # attribute the worker's two costs separately: the device->host
+        # transfer (tunnel-bound, ~5 MB/s here) vs the encode+gzip+disk
+        # (host-CPU-bound) — io.write_worker above them is the union
+        from ..utils.profiling import profiler
+
+        with profiler.stage("io.download"):
+            arr = np.asarray(data)
+        with profiler.stage("io.encode"):
+            _write_payload(path, arr, vol)
+
+    volcache.submit_write(path, _payload)
 
 
 def _write_payload(path: str, data: np.ndarray, vol: Volume) -> None:

@@ -47,6 +47,13 @@ class SynthSegRunner:
 
     def run(self, input_dir: str, output_dir: str) -> None:
         os.makedirs(output_dir, exist_ok=True)
+        if self.mode in ("subprocess", "callable"):
+            # these consumers may read input_dir with their OWN IO (an
+            # external binary, a user callback using sitk/open) — queued
+            # async writes must be real files first. 'jax'/'fake' read
+            # through nifti.read, which serves queued writes from the
+            # volume cache.
+            nifti.flush_writes(force=True)
         if self.mode == "subprocess":
             import shlex
 

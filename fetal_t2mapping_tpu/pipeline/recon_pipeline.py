@@ -64,7 +64,16 @@ def run_resample_volumes(metadata: pd.DataFrame, bids_path: str,
             continue
         vol = nifti.read(get_img_path(bids_path, acq, C.IN_DIRNAME))
         hi = resample_volume(vol, [high_res] * 3, device=True)
-        nifti.write_async(out_path, hi, dtype=np.float32)
+        # preserve an integer input's pixel type on disk, exactly like the
+        # reference's sitk.Resample(..., volume.GetPixelID()) (reference
+        # utils/qmri_utils.py:78-80, whose resampled intermediates are the
+        # converter's int16/uint16) — and an integer-typed intermediate
+        # costs HALF the device->host transfer of a float32 one. The cast
+        # rounds+clamps on device (see nifti._cast_for_disk); float inputs
+        # stay float32.
+        in_dt = np.dtype(vol.data.dtype)
+        nifti.write_async(out_path, hi,
+                          dtype=in_dt if in_dt.kind in "iu" else np.float32)
         log.info("resampled %s -> %s", acq["run"], out_path)
 
 
@@ -416,16 +425,22 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
             import dataclasses as _dc
 
             synthseg = _dc.replace(synthseg, mesh=mesh)
-    try:
-        _process_qmri_stages(
-            bids_path, metadata, in_vivo=in_vivo, low_field=low_field,
-            synthseg=synthseg, seeds_key=seeds_key,
-            registration_kwargs=registration_kwargs, profiler=profiler)
-    finally:
-        # every queued checkpoint write lands before the stage returns:
-        # the filesystem-is-checkpoint contract holds at the API boundary
-        with profiler.stage("recon.flush_writes"):
-            nifti.flush_writes()
+    # one flush barrier for the whole pipeline: the per-stage flush-on-exit
+    # barriers become no-ops (nifti.deferred_flushes), so checkpoint
+    # downloads/encodes drain on the writer pool WHILE later stages compute
+    # instead of serializing each stage's end on the device link; stage-to-
+    # stage reads are served from the volume cache either way
+    with nifti.deferred_flushes():
+        try:
+            _process_qmri_stages(
+                bids_path, metadata, in_vivo=in_vivo, low_field=low_field,
+                synthseg=synthseg, seeds_key=seeds_key,
+                registration_kwargs=registration_kwargs, profiler=profiler)
+        finally:
+            # every queued checkpoint write lands before the stage returns:
+            # the filesystem-is-checkpoint contract holds at the API boundary
+            with profiler.stage("recon.flush_writes"):
+                nifti.flush_writes(force=True)
 
 
 def _process_qmri_stages(bids_path, metadata, *, in_vivo, low_field,

@@ -173,6 +173,25 @@ def _sidecar(ds: DicomDataset) -> Dict:
     return side
 
 
+def _disk_dtype(data: np.ndarray) -> np.dtype:
+    """On-disk dtype for a converted series: int16 when the (rescaled)
+    values are integral and fit, else uint16, else float32 — the same
+    lossless-integer preference as dcm2niix, whose output files the
+    reference pipeline consumes (reference utils/dcm_utils.py:259-312).
+    Integer storage halves the file and every later device transfer of it."""
+    if data.size == 0:
+        return np.dtype(np.float32)
+    lo, hi = float(data.min()), float(data.max())
+    if not np.isfinite(lo) or not np.isfinite(hi):
+        return np.dtype(np.float32)
+    if np.all(np.mod(data, 1.0) == 0.0):
+        if -32768 <= lo and hi <= 32767:
+            return np.dtype(np.int16)
+        if 0 <= lo and hi <= 65535:
+            return np.dtype(np.uint16)
+    return np.dtype(np.float32)
+
+
 def convert_series(paths: Sequence[str], out_base: str) -> Tuple[str, str]:
     """Convert one series to ``out_base``.nii.gz + ``out_base``.json.
 
@@ -182,7 +201,7 @@ def convert_series(paths: Sequence[str], out_base: str) -> Tuple[str, str]:
     vol, ref = series_to_volume(paths)
     nii_path = out_base + ".nii.gz"
     json_path = out_base + ".json"
-    nifti.write(nii_path, vol, dtype=np.float32)
+    nifti.write(nii_path, vol, dtype=_disk_dtype(np.asarray(vol.data)))
     with open(json_path, "w") as f:
         json.dump(_sidecar(ref), f, indent=2, sort_keys=True)
     return nii_path, json_path

@@ -62,6 +62,28 @@ class TestNifti:
         np.testing.assert_allclose(r.origin, v.origin, atol=1e-4)
         np.testing.assert_allclose(r.direction, v.direction, atol=1e-5)
 
+    @pytest.mark.parametrize("device", [False, True])
+    def test_float_to_int_storage_rounds_and_clamps(self, tmp_path, device):
+        # integer-typed checkpoints (resampled intermediates mirroring the
+        # reference's pixel-type-preserving resample): float data must
+        # round-half-even and clamp — never C-cast truncate or wrap — and
+        # NaN (fusion's out-of-FOV marker) must store as 0. Same contract
+        # for host and device-backed volumes.
+        data = np.array([[[-5.4, 0.4, 0.5, 1.5, 99.6, 70000.0, np.nan]]],
+                        np.float32)
+        if device:
+            import jax.numpy as jnp
+            v = Volume(jnp.asarray(data))
+        else:
+            v = Volume(data)
+        p = str(tmp_path / "q.nii.gz")
+        nifti.write(p, v, dtype=np.uint16)
+        from fetal_t2mapping_tpu.core import volcache
+        volcache.clear()                       # force a disk read-back
+        r = np.asarray(nifti.read(p).data).ravel()
+        assert r.dtype == np.uint16
+        np.testing.assert_array_equal(r, [0, 0, 0, 2, 100, 65535, 0])
+
     def test_roundtrip_rotated_geometry(self, tmp_path):
         rng = np.random.default_rng(2)
         v = Volume(

@@ -181,6 +181,9 @@ def test_convert_series_writes_nifti_and_sidecar(tmp_path):
     os.makedirs(os.path.dirname(base))
     nii, js = convert_series(paths, base)
     back = nifti.read(nii)
+    # lossless integer data stores as int16 like dcm2niix (half the bytes
+    # of float32 on disk and over the device link)
+    assert np.asarray(back.data).dtype == np.int16
     np.testing.assert_array_equal(np.asarray(back.data), truth.astype(np.float32))
     np.testing.assert_allclose(back.spacing, (2.0, 1.5, 3.0), atol=1e-5)
     import json
@@ -188,6 +191,26 @@ def test_convert_series_writes_nifti_and_sidecar(tmp_path):
     assert side["EchoTime"] == 0.114            # seconds, BIDS convention
     assert side["Rows"] == 6 and side["Columns"] == 8
     assert side["ImageOrientationPatientDICOM"] == [1, 0, 0, 0, 1, 0]
+
+
+def test_convert_series_dtype_selection(tmp_path):
+    # non-integral rescaled values must stay float32; large unsigned values
+    # that don't fit int16 fall back to uint16
+    pix = np.arange(48, dtype=np.uint16).reshape(6, 8)
+    p = str(tmp_path / "r.dcm")
+    write_test_dicom(p, pix, ipp=(0, 0, 0), slope=0.5, intercept=0.25)
+    nii, _ = convert_series([p], str(tmp_path / "float_case"))
+    back = nifti.read(nii)
+    assert np.asarray(back.data).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(back.data)[0], pix * 0.5 + 0.25)
+
+    big = (pix.astype(np.uint16) + 40000)
+    p2 = str(tmp_path / "b.dcm")
+    write_test_dicom(p2, big, ipp=(0, 0, 0))
+    nii2, _ = convert_series([p2], str(tmp_path / "uint_case"))
+    back2 = nifti.read(nii2)
+    assert np.asarray(back2.data).dtype == np.uint16
+    np.testing.assert_array_equal(np.asarray(back2.data)[0], big)
 
 
 def test_group_series(tmp_path):

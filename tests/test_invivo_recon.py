@@ -87,6 +87,43 @@ def test_resample_fuse_recovers_truth(tmp_path):
     assert os.path.getmtime(recon_path) == mtime
 
 
+def test_resample_preserves_integer_pixel_type(tmp_path):
+    """Integer-typed acquisitions (the converter's int16/uint16, like
+    dcm2niix's output the reference consumes) must resample to files of the
+    SAME integer type — the reference's sitk.Resample preserves the pixel
+    type (qmri_utils.py:78-80) — while float inputs stay float32. The
+    integer values must match the float computation rounded, not C-cast
+    truncated."""
+    rng = np.random.default_rng(5)
+    truth = _truth(24)
+    truth_vol = Volume(data=truth, spacing=(1, 1, 1), origin=(0, 0, 0))
+    bids = os.path.join(str(tmp_path), "projects/")
+    acq_i = {"prj": "prj-004", "sub": "sub-001", "ses": "ses-01",
+             "run": "run-ax", "EchoTime": TE / 1000.0,
+             "ImageOrientationPatientSTR": "ax"}
+    acq_f = dict(acq_i, run="run-cor", ImageOrientationPatientSTR="cor")
+    vol_i = _acquire(truth_vol, 2, 0.0, rng)
+    nifti.write(get_img_path(bids, acq_i, C.IN_DIRNAME), vol_i,
+                dtype=np.int16)
+    vol_f = _acquire(truth_vol, 1, 0.0, rng)
+    nifti.write(get_img_path(bids, acq_f, C.IN_DIRNAME), vol_f,
+                dtype=np.float32)
+    metadata = pd.DataFrame([acq_i, acq_f])
+    run_resample_volumes(metadata, bids, 1.0)
+
+    from fetal_t2mapping_tpu.core import volcache
+    volcache.clear()                           # read back from DISK
+    r_i = nifti.read(get_img_path(bids, acq_i, C.RESAMP_DIRNAME))
+    r_f = nifti.read(get_img_path(bids, acq_f, C.RESAMP_DIRNAME))
+    assert np.asarray(r_i.data).dtype == np.int16
+    assert np.asarray(r_f.data).dtype == np.float32
+    # value parity: int16 file == rounded float resample of the int input
+    src = nifti.read(get_img_path(bids, acq_i, C.IN_DIRNAME))
+    ref = np.asarray(resample_volume(src, [1.0, 1.0, 1.0]).data)
+    np.testing.assert_array_equal(np.asarray(r_i.data),
+                                  np.round(ref).astype(np.int16))
+
+
 def test_multite_rician_rotated_recon_recovers_t2(tmp_path):
     """The realistic in-vivo combination (VERDICT r1 weak #6): TWO echo
     times with per-structure contrast decay, three thick-slice orientations

@@ -85,6 +85,44 @@ def test_write_async_visible_and_flushes(tmp_path):
     np.testing.assert_array_equal(np.asarray(r2.data), np.asarray(v.data))
 
 
+def test_deferred_flushes_collapse_barriers(tmp_path):
+    # inside the context: flush_writes() is a no-op barrier (the composite
+    # pipelines rely on this to overlap checkpoint IO with compute), reads
+    # are served from the cache, force=True still drains (the contract for
+    # handing files to out-of-process consumers), and the outermost exit
+    # performs a real flush
+    p1 = str(tmp_path / "a.nii.gz")
+    p2 = str(tmp_path / "b.nii.gz")
+    with nifti.deferred_flushes():
+        nifti.write_async(p1, _vol(1.0))
+        nifti.flush_writes()                  # deferred: no barrier
+        assert nifti.exists(p1)
+        np.testing.assert_array_equal(np.asarray(nifti.read(p1).data),
+                                      np.asarray(_vol(1.0).data))
+        with nifti.deferred_flushes():        # re-entrant
+            nifti.write_async(p2, _vol(2.0))
+            nifti.flush_writes(force=True)    # forced: real barrier
+            assert os.path.exists(p2)
+        nifti.flush_writes()                  # still inside the outer scope
+    assert os.path.exists(p1)                 # outermost exit flushed
+    volcache.clear()
+    assert float(np.asarray(nifti.read(p1).data)[0, 0, 0]) == 1.0
+
+
+def test_deferred_flushes_depth_restored_on_error(tmp_path):
+    p = str(tmp_path / "e.nii.gz")
+    with pytest.raises(RuntimeError):
+        with nifti.deferred_flushes():
+            nifti.write_async(p, _vol(3.0))
+            raise RuntimeError("stage failed")
+    # the error path still flushed and restored normal flush semantics
+    assert os.path.exists(p)
+    nifti.write_async(p, _vol(4.0))
+    nifti.flush_writes()
+    volcache.clear()
+    assert float(np.asarray(nifti.read(p).data)[0, 0, 0]) == 4.0
+
+
 def test_async_overwrite_order(tmp_path):
     p = str(tmp_path / "ow.nii.gz")
     nifti.write_async(p, _vol(1.0))
