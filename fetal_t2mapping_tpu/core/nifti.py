@@ -216,6 +216,29 @@ def exists(path) -> bool:
     return volcache.pending(path) or os.path.exists(path)
 
 
+def list_volumes(directory, suffix: str = ".nii.gz") -> list:
+    """Sorted ``suffix`` files in ``directory``, INCLUDING queued writes.
+
+    The async-write counterpart of :func:`exists` for directory
+    enumeration: a plain glob/listdir races the writer pool — under
+    :func:`deferred_flushes` a stage that lists a derivative directory
+    while the producing stage's writes are still in flight would silently
+    see it empty (and e.g. segment/mask nothing). Pending paths are
+    readable through :func:`read` (served from the volume cache), so the
+    union is safe to consume immediately. Returns absolute paths."""
+    from . import volcache
+
+    directory = os.path.abspath(str(directory))
+    try:
+        on_disk = [os.path.join(directory, f) for f in os.listdir(directory)
+                   if f.endswith(suffix)]
+    except OSError:
+        on_disk = []
+    queued = [p for p in volcache.pending_under(directory)
+              if p.endswith(suffix)]
+    return sorted(set(on_disk) | set(queued))
+
+
 _DEFER_DEPTH = 0
 
 

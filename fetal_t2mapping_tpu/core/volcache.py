@@ -239,6 +239,20 @@ def pending(path) -> bool:
     return _key(path) in _pending
 
 
+def pending_under(directory) -> list:
+    """Queued-write paths directly inside ``directory`` (absolute paths).
+
+    Directory listings (glob/os.listdir) cannot see queued writes the way
+    :func:`get`/``nifti.exists`` can — a stage that enumerates a
+    derivative directory while a prior stage's writes are still in flight
+    (nifti.deferred_flushes) would silently see an empty directory. Union
+    this with the on-disk listing (``nifti.list_volumes`` does)."""
+    prefix = os.path.abspath(str(directory))
+    with _lock:
+        keys = list(_pending.keys())
+    return [k for k in keys if os.path.dirname(k) == prefix]
+
+
 def flush() -> None:
     """Wait for every queued write; re-raise the first worker error."""
     from ..utils.profiling import profiler

@@ -17,7 +17,6 @@ of recon NIfTIs in, a directory of label NIfTIs out — with three backends:
 from __future__ import annotations
 
 import dataclasses
-import glob
 import os
 import shutil
 import subprocess
@@ -82,7 +81,9 @@ class SynthSegRunner:
                 "mode='jax' needs converted SynthSeg weights "
                 "(weights=... or FT2_SYNTHSEG_WEIGHTS)")
         params = load_params(weights)
-        for path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+        # list_volumes, not glob: under deferred flushes the recon writes
+        # may still be queued (nifti.read serves them from the cache)
+        for path in nifti.list_volumes(input_dir):
             vol = nifti.read(path)
             labels = segment_volume(params, np.asarray(vol.data),
                                     mesh=self.mesh)
@@ -92,7 +93,7 @@ class SynthSegRunner:
 
     @staticmethod
     def _fake(input_dir: str, output_dir: str) -> None:
-        for path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+        for path in nifti.list_volumes(input_dir):
             vol = nifti.read(path)
             data = np.asarray(vol.data, np.float32)
             fg = data > np.percentile(data, 60)

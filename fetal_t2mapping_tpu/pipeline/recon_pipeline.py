@@ -12,7 +12,6 @@ bet->feta->atlas labels. In-vitro: phantom sphere labels from seeds.
 from __future__ import annotations
 
 import functools
-import glob
 import logging
 import os
 import re
@@ -221,8 +220,11 @@ def run_segmentation(metadata: pd.DataFrame, bids_path: str,
 
 
 def _derivative_files(bids_path, prj, sub, ses, dirname):
+    # pending-aware listing, not glob: under nifti.deferred_flushes the
+    # producing stage's writes may still be queued; a plain glob would
+    # silently see an empty directory and skip the whole derivative step
     d = os.path.join(bids_path, prj, "derivatives", dirname, sub, ses, "anat")
-    return sorted(glob.glob(os.path.join(d, "*.nii.gz")))
+    return nifti.list_volumes(d)
 
 
 @_flushes_writes
@@ -369,14 +371,12 @@ def build_phantom_masks(metadata: pd.DataFrame, bids_path: str, *,
     utils/qmri_utils.py:591-623 — threshold + fill holes + closing + dilate).
     The t2map stage loads MASK_DIRNAME unconditionally, so the in-vitro
     branch must produce it too."""
-    import glob
-
     from ..labels.masks import phantom_mask
 
     for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
         input_dir = os.path.join(bids_path, prj, "derivatives", C.RECON_DIRNAME, sub, ses, "anat")
         out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.MASK_DIRNAME, sub, ses, "anat")
-        for img_path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+        for img_path in nifti.list_volumes(input_dir):
             out_path = os.path.join(out_dir, os.path.basename(img_path).replace(
                 C.RECON_DIRNAME, C.MASK_DIRNAME))
             if nifti.exists(out_path):
@@ -393,7 +393,7 @@ def build_phantom_labels(metadata: pd.DataFrame, bids_path: str,
     for (prj, sub, ses), _ in metadata.groupby(["prj", "sub", "ses"]):
         input_dir = os.path.join(bids_path, prj, "derivatives", C.RECON_DIRNAME, sub, ses, "anat")
         out_dir = mk_bids_dir(bids_path, prj, "derivatives", C.PHANTOM_LABELS_DIRNAME, sub, ses, "anat")
-        for img_path in sorted(glob.glob(os.path.join(input_dir, "*.nii.gz"))):
+        for img_path in nifti.list_volumes(input_dir):
             out_path = os.path.join(out_dir, os.path.basename(img_path).replace(
                 C.RECON_DIRNAME, C.PHANTOM_LABELS_DIRNAME))
             if nifti.exists(out_path):

@@ -60,7 +60,7 @@ def _enumerate_sessions(metadata: pd.DataFrame, bids_path: str,
                 log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
                             sub, ses, te_found, list(tes))
                 continue
-            missing = [p for p in recon_paths + mask_paths if not os.path.exists(p)]
+            missing = [p for p in recon_paths + mask_paths if not nifti.exists(p)]
             if missing:
                 log.warning("derivatives missing for %s_%s (run the recon stage "
                             "first): %s; skipped", sub, ses, missing[0])

@@ -283,3 +283,78 @@ def test_entry_pending_until_marked_written(tmp_path):
     assert volcache.get(p) is v or volcache.get(p) is not None
     assert volcache.get(p) is not None        # entry survived the reads
     volcache.invalidate(p)
+
+
+def _stall_writer_pool():
+    """Occupy every writer-pool thread with a blocked task; returns the
+    Event that releases them. Deterministically reproduces 'writes queued
+    but not yet on disk' without racing the pool."""
+    import threading
+
+    release = threading.Event()
+    started = threading.Barrier(volcache._THREADS + 1)
+
+    def blocker():
+        started.wait(timeout=30)
+        release.wait(timeout=30)
+
+    for i in range(volcache._THREADS):
+        volcache._get_executor().submit(blocker)
+    started.wait(timeout=30)          # every pool thread is now parked
+    return release
+
+
+def test_list_volumes_sees_queued_writes(tmp_path):
+    """Regression (round-4 e2e bench failure): directory listings must see
+    queued async writes. Under nifti.deferred_flushes the recon stage's
+    writes are still in flight when the segmentation stage enumerates the
+    recon directory; a plain glob returned [] and the whole
+    segment->mask->bet->feta chain silently produced nothing."""
+    import glob
+
+    d = tmp_path / "anat"
+    d.mkdir()
+    p = str(d / "a_recon.nii.gz")
+    release = _stall_writer_pool()
+    try:
+        with nifti.deferred_flushes():
+            nifti.write_async(p, _vol(5.0))
+            # deterministic: the pool is stalled, so the file CANNOT be on
+            # disk yet — the plain glob provably loses this race
+            assert glob.glob(str(d / "*.nii.gz")) == []
+            assert nifti.list_volumes(str(d)) == [p]
+            # and the listed path is immediately readable (cache-served)
+            assert float(np.asarray(nifti.read(p).data)[0, 0, 0]) == 5.0
+            release.set()
+            nifti.flush_writes(force=True)
+    finally:
+        release.set()
+    # after the flush: on disk exactly once, listing unchanged
+    assert os.path.exists(p)
+    assert nifti.list_volumes(str(d)) == [p]
+    assert nifti.list_volumes(str(d / "missing")) == []
+
+
+def test_fake_synthseg_segments_queued_recons(tmp_path):
+    """The concrete failing stage: SynthSegRunner('fake') must label recon
+    volumes whose writes are still queued (deferred_flushes pipeline)."""
+    from fetal_t2mapping_tpu.labels.synthseg import SynthSegRunner
+
+    in_dir = tmp_path / "recon"
+    out_dir = tmp_path / "labels"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    vol = Volume(rng.uniform(0, 100, (8, 8, 8)).astype(np.float32),
+                 spacing=(1, 1, 1), origin=(0, 0, 0))
+    release = _stall_writer_pool()
+    try:
+        with nifti.deferred_flushes():
+            nifti.write_async(str(in_dir / "s1_recon.nii.gz"), vol)
+            SynthSegRunner(mode="fake").run(str(in_dir), str(out_dir))
+            release.set()
+            nifti.flush_writes(force=True)
+    finally:
+        release.set()
+    assert os.path.exists(str(out_dir / "s1_recon_synthseg.nii.gz"))
+    labels = np.asarray(nifti.read(str(out_dir / "s1_recon_synthseg.nii.gz")).data)
+    assert set(np.unique(labels)) == {0, 2, 3}
