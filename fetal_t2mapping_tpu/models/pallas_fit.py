@@ -477,8 +477,14 @@ def _interp_start_gr(s, te, lo, hi, guess):
         (s1^2-s2^2) (E2(t2)-E3(t2)) = (s2^2-s3^2) (E1(t2)-E2(t2)),
     E_i = e^(-2 te_i / t2): bracket on a STATIC log grid (E_i become
     compile-time constants -> pure FMAs), then geometric bisection (3 exps
-    per step). Voxels with no valid interpolant fall back to the protocol
-    ``guess`` — this start replaces the plain-guess branch, never weakens it.
+    per step). An interpolant whose sg (or k) lands OUTSIDE the box is
+    clipped into it, not discarded: the constrained optimum then sits on
+    that bound near the clipped point (observed: sg* = 1087 vs hi 1000 —
+    scipy's L-BFGS-B rides sg to the bound for objective 4.8 while every
+    in-box start basin lands 20x worse). Only voxels with no interpolant
+    at all (non-decreasing s^2 / no bracket / k^2 <= 0) fall back to the
+    protocol ``guess`` — this start replaces the plain-guess branch, never
+    weakens it.
     """
     import math
     sq = [st * st for st in s]
@@ -517,10 +523,9 @@ def _interp_start_gr(s, te, lo, hi, guess):
     denom = E[0] - E[1]
     k2 = d12 / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
     sg2 = sq[2] - k2 * E[2]
-    k = jnp.sqrt(jnp.maximum(k2, 0.0))
-    sg = jnp.sqrt(jnp.maximum(sg2, 0.0))
-    valid = (found & (d12 > 0) & (d23 > 0) & (k2 > 0) & (sg2 >= 0)
-             & (k >= lo[0]) & (k <= hi[0]) & (sg >= lo[2]) & (sg <= hi[2]))
+    k = jnp.clip(jnp.sqrt(jnp.maximum(k2, 0.0)), lo[0], hi[0])
+    sg = jnp.clip(jnp.sqrt(jnp.maximum(sg2, 0.0)), lo[2], hi[2])
+    valid = found & (d12 > 0) & (d23 > 0) & (k2 > 0)
     fb = [jnp.full_like(s[0], min(max(gi, li), hi_i))
           for gi, li, hi_i in zip(guess, lo, hi)]
     return (jnp.where(valid, k, fb[0]),

@@ -405,3 +405,29 @@ def test_stall_floor_parity_with_tight_floor():
     assert conv_def[ident].all() and conv_ref[ident].all()
     rel = np.abs(x_def[ident, 1] - x_ref[ident, 1]) / x_ref[ident, 1]
     assert rel.max() < 2e-3, rel.max()
+
+
+def test_interp_start_clips_out_of_box_sigma_to_bound():
+    """Regression (round-4 bench oracle gate): a voxel whose exact
+    gaussian_rician interpolant wants sigma ABOVE the box (sg* = 1087 vs
+    hi 1000) used to be discarded as 'invalid', falling back to the
+    protocol guess and landing in a basin 20x worse than scipy's
+    (L-BFGS-B rides sigma to the bound, objective 4.8 vs 105). The
+    interpolation start must clip into the box, so the Newton run starts
+    ON the constrained optimum's active bound."""
+    from fetal_t2mapping_tpu.models.oracle import _objective
+
+    sig = np.array([[3582.7908, 2918.0173, 2364.2817]], np.float32)
+    lo3, hi3 = (1.0, 10.0, 1.0), (1e6, 2000.0, 1000.0)
+    sigb = np.tile(sig, (256, 1)).astype(np.float32)
+    r = fit_fused(sigb, TES, lo3, hi3, model="gaussian_rician",
+                  phase1_iters=10, max_iters=60, guess=(650.0, 110.0, 40.0),
+                  ftol=1e-2, gtol=1e-2, interpret=True)
+    x = np.asarray(r.x[0], np.float64)
+    f = _objective("gaussian_rician")(x, np.asarray(TES, np.float64),
+                                      sig[0].astype(np.float64))
+    # scipy L-BFGS-B from the protocol guess reaches 4.774 at
+    # x = (4606.5, 390.1, 1000); the kernel must match it
+    assert x[2] == hi3[2], x
+    assert f < 4.8, (x, f)
+    assert abs(x[1] - 390.07) / 390.07 < 1e-2, x
