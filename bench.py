@@ -762,11 +762,18 @@ def run_unet_bench():
     # alternative: exact space-to-depth level 0 (selectable, FT2_UNET_S2D)
     dts, labs = timed(
         lambda: _segment_s2d_jit(params, s2d, x, cfg, jnp.bfloat16))
+    # alternative: S2D level 0 with the fused Pallas MXU conv kernel
+    # (labels/pallas_conv.py; FT2_UNET_S2D=pallas)
+    dtp, labp = timed(
+        lambda: _segment_s2d_jit(params, s2d, x, cfg, jnp.bfloat16,
+                                 conv_impl="pallas"))
     agree = float((lab16 == lab32).mean())
     agree_s2d = float((labs == lab32).mean())
-    if agree < 0.97 or agree_s2d < 0.97:
+    agree_pal = float((labp == lab32).mean())
+    if agree < 0.97 or agree_s2d < 0.97 or agree_pal < 0.97:
         print(f"unet gate FAILED: label agreement vs fp32 {agree:.4f} "
-              f"(bf16) / {agree_s2d:.4f} (s2d) < 0.97", file=sys.stderr)
+              f"(bf16) / {agree_s2d:.4f} (s2d) / {agree_pal:.4f} (pallas) "
+              "< 0.97", file=sys.stderr)
         raise SystemExit(1)
     rate = n ** 3 / dt16
     # honest utilization: network FLOPs / time vs the chip's measured
@@ -783,17 +790,21 @@ def run_unet_bench():
           f"bf16 z-decomposed convs {dt16*1e3:.1f} ms ({rate/1e6:.1f} M "
           f"voxels/s, {tfs:.1f} TF/s effective over {gflop:.0f} GFLOP), "
           f"fp32 {dt32*1e3:.1f} ms, s2d-level0 alternative "
-          f"{dts*1e3:.1f} ms, label agreement {agree:.4f}", file=sys.stderr)
+          f"{dts*1e3:.1f} ms, s2d+pallas-conv {dtp*1e3:.1f} ms, "
+          f"label agreement {agree:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "unet_forward_160_voxels_per_sec",
         "value": round(rate, 1),
         "unit": f"voxels/s (160^3, z-decomposed bf16-input/fp32-accumulate "
                 f"MXU convs {dt16*1e3:.1f} ms; fp32 {dt32*1e3:.1f} ms, "
-                f"space-to-depth-level-0 alternative {dts*1e3:.1f} ms; "
+                f"space-to-depth-level-0 alternative {dts*1e3:.1f} ms, "
+                f"s2d + fused Pallas conv {dtp*1e3:.1f} ms; "
                 "5-level SynthSeg architecture + argmax)",
         "vs_baseline": None,
         "bf16_fp32_label_agreement": round(agree, 4),
         "s2d_fp32_label_agreement": round(agree_s2d, 4),
+        "pallas_fp32_label_agreement": round(agree_pal, 4),
+        "s2d_pallas_ms": round(dtp * 1e3, 1),
         "effective_tflops": round(tfs, 1),
         "network_gflop": round(gflop, 1),
     }))
@@ -1146,6 +1157,9 @@ def main(only=None):
     ]
     if only == "fullsize":
         run_pipeline_e2e_fullsize()
+        return
+    if only == "unet":
+        run_unet_bench()
         return
     if only:
         configs = [c for c in configs if c[0] == only] or \

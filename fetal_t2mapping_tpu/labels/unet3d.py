@@ -377,7 +377,8 @@ def _conv_s2d(x, w, b, compute_dtype=jnp.float32):
 
 def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
                    cfg: UNetConfig = UNetConfig(),
-                   compute_dtype=jnp.float32, return_logits: bool = False):
+                   compute_dtype=jnp.float32, return_logits: bool = False,
+                   conv_impl: str = "xla"):
     """Forward pass with level 0 in space-to-depth form — exactly the same
     network as unet_apply (same weights, reordered); see the block comment
     above for when this wins. Returns per-voxel class indices
@@ -385,18 +386,53 @@ def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
     depth-to-space).
 
     ``s2d_params`` is s2d_level0_params(params, cfg); ``params`` still
-    provides the mid-level (1..n-1) weights and the 1^3 head."""
+    provides the mid-level (1..n-1) weights and the 1^3 head.
+
+    ``conv_impl='pallas'`` runs every 192-channel S2D conv through the
+    fused Pallas MXU kernel (labels.pallas_conv: im2col matmul with the
+    regrid-consuming window, bias + decoder residual + ELU in the
+    epilogue); 'xla' uses the z-decomposed conv emitter. Same math either
+    way (fp32 accumulation; tap-summation order differs)."""
     if cfg.n_levels < 2 or cfg.kernel != 3:
         raise ValueError("S2D path needs n_levels >= 2 and 3^3 kernels")
+    if conv_impl not in ("xla", "pallas"):
+        raise ValueError(f"conv_impl must be 'xla'|'pallas', got {conv_impl!r}")
     n, d, h, w, _ = x.shape
+    if conv_impl == "pallas" and n != 1:
+        raise ValueError("conv_impl='pallas' supports a single volume (N=1)")
+
+    def s2d_conv_elu(t_inform, wkey, bkey, residual=None):
+        """ELU(S2D-conv(t) [+ residual]) via the selected implementation;
+        t_inform is batched in-form, residual batched out-form fp32."""
+        if conv_impl == "pallas":
+            from .pallas_conv import conv_s2d
+
+            w2 = s2d_params[wkey]
+            packed = w2.reshape(w2.shape[0] * w2.shape[1] * w2.shape[2]
+                                * w2.shape[3], w2.shape[4])
+            res0 = None if residual is None else residual[0]
+            out = conv_s2d(t_inform[0], packed, s2d_params[bkey],
+                           residual=res0, activation="elu",
+                           compute_dtype=compute_dtype)
+            return out[None]
+        pre = _conv_s2d(t_inform, s2d_params[wkey], s2d_params[bkey],
+                        compute_dtype)
+        if residual is not None:
+            pre = pre + residual
+        return jax.nn.elu(pre).astype(compute_dtype)
+
     # --- level-0 encoder in S2D space
     t = _s2d_in(x)
     for i in range(cfg.n_conv_per_level):
         if i:
             t = _s2d_regrid(t)
-        t = jax.nn.elu(_conv_s2d(t, s2d_params[f"enc0_{i}_w"],
-                                 s2d_params[f"enc0_{i}_b"], compute_dtype)
-                       ).astype(compute_dtype)
+            t = s2d_conv_elu(t, f"enc0_{i}_w", f"enc0_{i}_b")
+        else:
+            # enc0_0's in-form input has only 8*c_in_image (=8) channels —
+            # a K=64 matmul wastes the MXU; the XLA path handles it
+            t = jax.nn.elu(_conv_s2d(t, s2d_params["enc0_0_w"],
+                                     s2d_params["enc0_0_b"], compute_dtype)
+                           ).astype(compute_dtype)
     skip0 = t                                     # out-form, 8*base channels
     c0 = cfg.base_features
     # maxpool 2x == max over the 8 sub-position slots of the out-form
@@ -423,13 +459,10 @@ def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
     # the regridded skip) + upsample-folded branch (3^3 SAME conv on the
     # coarse dec1 output — the 2x upsample never materializes).
     t_up = _conv(t, s2d_params["dec0_0_up_w"], 0.0, compute_dtype)
-    t_skip = _conv_s2d(_s2d_regrid(skip0), s2d_params["dec0_0_skip_w"],
-                       s2d_params["dec0_0_b"], compute_dtype)
-    t = jax.nn.elu(t_skip + t_up).astype(compute_dtype)
+    t = s2d_conv_elu(_s2d_regrid(skip0), "dec0_0_skip_w", "dec0_0_b",
+                     residual=t_up)
     for i in range(1, cfg.n_conv_per_level):
-        t = jax.nn.elu(_conv_s2d(_s2d_regrid(t), s2d_params[f"dec0_{i}_w"],
-                                 s2d_params[f"dec0_{i}_b"], compute_dtype)
-                       ).astype(compute_dtype)
+        t = s2d_conv_elu(_s2d_regrid(t), f"dec0_{i}_w", f"dec0_{i}_b")
     # --- 1^3 head + argmax per slot, then depth-to-space the labels
     wh = params["head_w"].reshape(params["head_w"].shape[-2:])
     logits = (jnp.einsum("nzyxrc,cl->nzyxrl",
@@ -462,10 +495,12 @@ def _segment_jit(params, x, cfg: UNetConfig, compute_dtype=jnp.float32):
     return jnp.argmax(logits, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "conv_impl"))
 def _segment_s2d_jit(params, s2d_params, x, cfg: UNetConfig,
-                     compute_dtype=jnp.float32):
-    return unet_apply_s2d(params, s2d_params, x, cfg, compute_dtype)
+                     compute_dtype=jnp.float32, conv_impl: str = "xla"):
+    return unet_apply_s2d(params, s2d_params, x, cfg, compute_dtype,
+                          conv_impl=conv_impl)
 
 
 # s2d_level0_params is a host-side transform + device upload of the
@@ -504,8 +539,14 @@ def segment_volume(params: Dict, data: np.ndarray,
     0..n-1 unless given explicitly). ``compute_dtype`` defaults to
     bfloat16 on TPU (the MXU's native input precision, fp32 accumulation)
     and float32 elsewhere; pass jnp.float32 to force full precision.
-    ``use_s2d`` selects the space-to-depth level-0 program (default: the
-    FT2_UNET_S2D env var, off).
+    ``use_s2d`` selects the space-to-depth level-0 program: False/True/
+    'xla' as before, or 'pallas' to additionally run the 192-channel S2D
+    convs through the fused Pallas MXU kernel (labels.pallas_conv) —
+    measured 78.0 -> 67.9 ms at 160^3 on TPU, recovering the XLA S2D
+    emitter's conv penalty to TIE the default z-decomposed program (the
+    remaining ~68 ms is mid-level convs + transforms, not level-0 conv
+    FLOPs; see docs/VALIDATION.md). Default: the FT2_UNET_S2D env var
+    ('1'/'xla'/'pallas'), else off.
 
     ``mesh`` (a jax.sharding.Mesh) runs the forward spatially partitioned:
     the volume's z axis is sharded over the mesh's first axis with weights
@@ -520,8 +561,10 @@ def segment_volume(params: Dict, data: np.ndarray,
         compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                          else jnp.float32)
     if use_s2d is None:
-        use_s2d = (os.environ.get("FT2_UNET_S2D", "").strip().lower()
-                   in ("1", "true", "yes", "on"))
+        env = os.environ.get("FT2_UNET_S2D", "").strip().lower()
+        use_s2d = "pallas" if env == "pallas" else (
+            env in ("1", "true", "yes", "on", "xla"))
+    conv_impl = "pallas" if use_s2d == "pallas" else "xla"
     if mesh is not None and use_s2d:
         raise ValueError("use_s2d and mesh are mutually exclusive (the S2D "
                          "rearranges are not laid out for spatial sharding)")
@@ -563,7 +606,8 @@ def segment_volume(params: Dict, data: np.ndarray,
         # selectable (FT2_UNET_S2D=1) for hardware where XLA's 3D/2D conv
         # emitters trade differently.
         s2d = _s2d_params_cached(params, cfg)
-        cls = np.asarray(_segment_s2d_jit(pj, s2d, x, cfg, compute_dtype))[0]
+        cls = np.asarray(_segment_s2d_jit(pj, s2d, x, cfg, compute_dtype,
+                                          conv_impl=conv_impl))[0]
     else:
         cls = np.asarray(_segment_jit(pj, x, cfg, compute_dtype))[0]
     lut = np.asarray(labels, np.int16)

@@ -233,3 +233,88 @@ def test_bf16_compute_matches_fp32_labels():
     assert np.abs(lg16 - lg32).max() / scale < 0.1
     agree = (lg16.argmax(-1) == lg32.argmax(-1)).mean()
     assert agree > 0.97, f"bf16/fp32 label agreement {agree:.4f}"
+
+
+class TestPallasS2DConv:
+    """The fused Pallas MXU kernel for the S2D path (labels.pallas_conv):
+    im2col matmul over the 8 taps with bias + decoder residual + ELU in
+    the epilogue. Interpret-mode numerics pinned against the XLA
+    composition and the dense network."""
+
+    def test_conv_matches_xla_composition(self):
+        import jax
+        import jax.numpy as jnp
+
+        from fetal_t2mapping_tpu.labels.pallas_conv import conv_s2d, pack_taps
+        from fetal_t2mapping_tpu.labels.unet3d import _conv_s2d, _s2d_kernel
+
+        rng = np.random.default_rng(0)
+        ci, co, q = 3, 5, 6
+        w2 = _s2d_kernel(rng.normal(0, 0.2, (3, 3, 3, ci, co)).astype(np.float32))
+        b = rng.normal(0, 0.1, 8 * co).astype(np.float32)
+        x = rng.normal(0, 1, (q + 1, q + 1, q + 1, 8 * ci)).astype(np.float32)
+        res = rng.normal(0, 1, (q, q, q, 8 * co)).astype(np.float32)
+        ref = np.asarray(jax.nn.elu(
+            _conv_s2d(jnp.asarray(x)[None], jnp.asarray(w2), jnp.asarray(b),
+                      compute_dtype=jnp.float32) + jnp.asarray(res)[None]))[0]
+        got = np.asarray(conv_s2d(
+            jnp.asarray(x), jnp.asarray(pack_taps(w2)), jnp.asarray(b),
+            residual=jnp.asarray(res), activation="elu",
+            compute_dtype=jnp.float32, interpret=True))
+        scale = max(float(np.abs(ref).max()), 1e-6)
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_pack_taps_shape_guard(self):
+        from fetal_t2mapping_tpu.labels.pallas_conv import pack_taps
+
+        with pytest.raises(ValueError):
+            pack_taps(np.zeros((3, 3, 3, 2, 2), np.float32))
+
+    def test_forward_matches_dense_and_xla_s2d(self):
+        """use_s2d='pallas' labels == use_s2d=True labels == dense labels
+        (fp32 on CPU: the only difference is fp32 tap-summation order)."""
+        cfg = UNetConfig(n_levels=3, base_features=4, n_labels=7)
+        params = random_params(cfg, seed=1)
+        vol = np.abs(np.random.default_rng(2).normal(
+            300, 120, (24, 20, 28))).astype(np.float32)
+        dense = segment_volume(params, vol, cfg, use_s2d=False)
+        s2d = segment_volume(params, vol, cfg, use_s2d=True)
+        pall = segment_volume(params, vol, cfg, use_s2d="pallas")
+        np.testing.assert_array_equal(s2d, pall)
+        assert (dense == pall).mean() > 0.999
+
+    def test_env_selects_pallas(self, monkeypatch):
+        cfg = UNetConfig(n_levels=2, base_features=2, n_labels=3)
+        params = random_params(cfg, seed=3)
+        vol = np.abs(np.random.default_rng(3).normal(
+            200, 80, (8, 8, 8))).astype(np.float32)
+        ref = segment_volume(params, vol, cfg, use_s2d="pallas")
+        monkeypatch.setenv("FT2_UNET_S2D", "pallas")
+        got = segment_volume(params, vol, cfg)
+        np.testing.assert_array_equal(ref, got)
+
+    def test_pallas_rejects_batched(self):
+        import jax.numpy as jnp
+
+        from fetal_t2mapping_tpu.labels.unet3d import (
+            s2d_level0_params, unet_apply_s2d)
+
+        cfg = UNetConfig(n_levels=2, base_features=2, n_labels=3)
+        params = random_params(cfg, seed=0)
+        pj = {k: jnp.asarray(v) for k, v in params.items()}
+        s2d = {k: jnp.asarray(v)
+               for k, v in s2d_level0_params(params, cfg).items()}
+        x = jnp.zeros((2, 8, 8, 8, 1), jnp.float32)
+        with pytest.raises(ValueError, match="single volume"):
+            unet_apply_s2d(pj, s2d, x, cfg, conv_impl="pallas")
+
+    def test_mesh_excludes_pallas(self):
+        cfg = UNetConfig(n_levels=2, base_features=2, n_labels=3)
+        params = random_params(cfg, seed=0)
+
+        class _FakeMesh:                     # only reaches the early raise
+            axis_names = ("vox",)
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            segment_volume(params, np.ones((8, 8, 8), np.float32), cfg,
+                           use_s2d="pallas", mesh=_FakeMesh())
