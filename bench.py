@@ -1122,18 +1122,32 @@ def run_pipeline_e2e_fullsize():
               f"{s['fit_seconds']:.2f} s for {s['n_voxels']} voxels; "
               f"median T2 map err {med_rel:.3f}; stages {stages}",
               file=sys.stderr)
+        # attribute the harness's device-link cost: on this rig the chip
+        # sits behind a ~5 MB/s tunnel, so every full-size derivative
+        # download/encode is harness bandwidth, not framework time — a
+        # PCIe-local deployment pays ~none of it
+        tunnel_io = sum(stages.get(k, 0.0) for k in
+                        ("io.download", "io.encode", "io.flush_wait"))
         print(json.dumps({
             "metric": "pipeline_e2e_fullsize_seconds",
             "value": round(total, 1),
-            "unit": "s for ONE clinical-size session: 9 HASTE-like DICOM "
-                    "acquisitions (240x240 matrix, 4 mm slabs) -> ingest -> "
-                    "resample -> register/fuse/denoise -> segment -> "
-                    "masks/BET/FeTA -> voxel fit (~21% brain mask) -> maps "
-                    "+ convergence artifacts at 240^3 1 mm^3. Reference "
-                    "anchor: ~150 s per session for the FIT STAGE ALONE at "
-                    "this size (run_t2mapping.py:440)",
+            "unit": "s for ONE COLD clinical-size session: 9 HASTE-like "
+                    "DICOM acquisitions (240x240 matrix, 4 mm slabs) -> "
+                    "ingest -> resample -> register/fuse/denoise -> segment "
+                    "-> masks/BET/FeTA -> voxel fit (~21% brain mask) -> "
+                    "maps + convergence artifacts at 240^3 1 mm^3. "
+                    "vs_baseline compares this WHOLE session (incl. "
+                    "one-time XLA compiles/program loads at full-size "
+                    "shapes and the harness's ~5 MB/s-tunnel derivative IO "
+                    "— see tunnel_io_seconds) against a reference anchor "
+                    "that covers the FIT STAGE ALONE (~150 s, "
+                    "run_t2mapping.py:440); the like-for-like fit-stage "
+                    "ratio is fit_stage_vs_anchor (and the WARM fit at "
+                    "this size is the 42 ms serving row)",
             "vs_baseline": round(150.0 / total, 2),
             "fit_stage_seconds": round(float(s["fit_seconds"]), 2),
+            "fit_stage_vs_anchor": round(150.0 / float(s["fit_seconds"]), 1),
+            "tunnel_io_seconds": round(tunnel_io, 1),
             "n_masked_voxels": int(s["n_voxels"]),
             "mask_frac": round(mask_frac, 3),
             "median_t2_map_rel_err": round(med_rel, 4),
