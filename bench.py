@@ -1179,15 +1179,41 @@ def main(only=None):
         configs = [c for c in configs if c[0] == only] or \
             [(only, TES3, only == "gaussian")]
 
+    # Soft wall-clock budget: the HEADLINE row (last line) is mandatory —
+    # a driver parsing truncated output would record the wrong metric. A
+    # normal full run reaches the model rows ~11 min in; the budget only
+    # fires on pathologically slow tunnel nights (the remote service has
+    # been observed taking 3-5 min per program load), where it sheds
+    # optional rows instead of losing the headline to an external timeout.
+    t0 = time.perf_counter()
+    soft_budget = float(os.environ.get("FT2_BENCH_SOFT_BUDGET_S", "1080"))
+
+    def over_budget(row):
+        elapsed = time.perf_counter() - t0
+        if elapsed <= soft_budget:
+            return False
+        print(f"# SOFT BUDGET EXCEEDED ({elapsed:.0f} s > {soft_budget:.0f} "
+              f"s): skipping optional row {row} to guarantee the headline "
+              f"prints (rerun `python bench.py --model ...` for it)",
+              file=sys.stderr)
+        return True
+
     if not only:
         run_mosaic_parity()
-        run_registration_bench()
-        run_unet_bench()
-        run_pipeline_e2e()
-        run_pipeline_e2e_fullsize()
-        run_volume_serving()
+        if not over_budget("registration"):
+            run_registration_bench()
+        if not over_budget("unet"):
+            run_unet_bench()
+        if not over_budget("pipeline_e2e"):
+            run_pipeline_e2e()
+        if not over_budget("pipeline_e2e_fullsize"):
+            run_pipeline_e2e_fullsize()
+        if not over_budget("volume_serving"):
+            run_volume_serving()
 
     for model, tes, headline in configs:
+        if not headline and over_budget(f"model:{model}@{len(tes)}te"):
+            continue
         record, dt, mean_iters = run_model(model, tes, headline=headline)
         if headline:
             # roofline lines before the headline line: measured exp peak for
