@@ -1125,7 +1125,10 @@ def run_pipeline_e2e_fullsize():
         # attribute the harness's device-link cost: on this rig the chip
         # sits behind a ~5 MB/s tunnel, so every full-size derivative
         # download/encode is harness bandwidth, not framework time — a
-        # PCIe-local deployment pays ~none of it
+        # PCIe-local deployment pays ~none of it. THREAD-seconds: the
+        # 4-thread writer pool's stage timers sum across threads, so this
+        # can exceed wall time when downloads overlap (it measures how
+        # much link work the session generated, not its wall share).
         tunnel_io = sum(stages.get(k, 0.0) for k in
                         ("io.download", "io.encode", "io.flush_wait"))
         print(json.dumps({
@@ -1139,7 +1142,9 @@ def run_pipeline_e2e_fullsize():
                     "vs_baseline compares this WHOLE session (incl. "
                     "one-time XLA compiles/program loads at full-size "
                     "shapes and the harness's ~5 MB/s-tunnel derivative IO "
-                    "— see tunnel_io_seconds) against a reference anchor "
+                    "— see tunnel_io_thread_seconds, summed across the "
+                    "4-thread writer pool so it can exceed wall time) "
+                    "against a reference anchor "
                     "that covers the FIT STAGE ALONE (~150 s, "
                     "run_t2mapping.py:440); the like-for-like fit-stage "
                     "ratio is fit_stage_vs_anchor (and the WARM fit at "
@@ -1147,7 +1152,7 @@ def run_pipeline_e2e_fullsize():
             "vs_baseline": round(150.0 / total, 2),
             "fit_stage_seconds": round(float(s["fit_seconds"]), 2),
             "fit_stage_vs_anchor": round(150.0 / float(s["fit_seconds"]), 1),
-            "tunnel_io_seconds": round(tunnel_io, 1),
+            "tunnel_io_thread_seconds": round(tunnel_io, 1),
             "n_masked_voxels": int(s["n_voxels"]),
             "mask_frac": round(mask_frac, 3),
             "median_t2_map_rel_err": round(med_rel, 4),
