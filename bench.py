@@ -1261,4 +1261,17 @@ def main(only=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[sys.argv.index("--model") + 1] if "--model" in sys.argv else None)
+    # only `--model NAME` is accepted; a bare positional (e.g.
+    # `python bench.py rician`) used to be silently ignored and run the
+    # FULL ~16-minute bench — fail fast instead
+    _argv = sys.argv[1:]
+    if "--model" in _argv:
+        _i = _argv.index("--model")
+        _only, _rest = _argv[_i + 1], _argv[:_i] + _argv[_i + 2:]
+    else:
+        _only, _rest = None, _argv
+    if _rest:
+        sys.exit(f"bench.py: unrecognized arguments {_rest!r} — usage: "
+                 "python bench.py [--model gaussian|gaussian_rician|rician"
+                 "|fullsize|unet]")
+    main(_only)
