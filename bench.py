@@ -45,6 +45,44 @@ TES3 = (114.0, 202.0, 299.0)
 TES6 = (114.0, 150.0, 202.0, 250.0, 299.0, 350.0)
 BASELINE_VOXELS_PER_SEC = 16_777_216 / 150.0
 
+# Every emitted row is also registered here so the RECAP line (printed
+# immediately before the headline, i.e. inside whatever stdout tail a
+# driver captures) can evidence every row and gate verdict of the run
+# (VERDICT r4 weak #1: BENCH_r04.json captured only the tail and lost the
+# fullsize/registration/serving rows to truncation).
+_ROWS = []
+_SHED = []
+
+
+def emit(record):
+    """Print one JSON row AND register it for the pre-headline recap."""
+    _ROWS.append(record)
+    print(json.dumps(record))
+    sys.stdout.flush()
+
+
+def emit_recap():
+    """One compact machine-readable line holding EVERY row of this run
+    (minus the prose 'unit'/'note' strings) plus the list of shed rows.
+    Any gate failure aborts the bench with exit 1 before this prints, so
+    gates_passed=true is a statement about every row present."""
+    drop = ("unit", "note")
+    rows = {r["metric"]: {k: v for k, v in r.items()
+                          if k not in drop and k != "metric"}
+            for r in _ROWS}
+    emit({
+        "metric": "bench_recap",
+        "value": len(rows),
+        "unit": "rows emitted this run (full records minus prose; any "
+                "gate failure exits 1 before this line, so every row "
+                "listed here passed its gates)",
+        "vs_baseline": None,
+        "gates_passed": True,
+        "rows": rows,
+        "shed_rows": list(_SHED),
+    })
+    sys.stdout.flush()
+
 
 def _make_data(n, tes, seed=0):
     rng = np.random.default_rng(seed)
@@ -267,10 +305,31 @@ def run_model(model, tes, *, headline=False):
         gap = (f_k - f_s) / np.maximum(np.abs(f_s), 1.0)
         obj_gap = (float(f"{gap.max():.3g}"),
                    float(f"{np.median(gap):.3g}"))
-        if gap.max() > 5e-2:
+        # gap DISTRIBUTION + worst-voxel diagnostics (VERDICT r4 next #4:
+        # is the rician ~1e-2 max one ridge voxel or a shoulder?): p99 vs
+        # max separates a lone outlier from a population; the worst
+        # voxel's iteration count and last-echo SNR say whether it ran
+        # out of budget / stopped on the ftol stall rule (n_iter at the
+        # cap or tiny) or sits near the identifiability floor.
+        wi = int(np.argmax(gap))
+        n_iter_sub = np.asarray(res.n_iter[jnp.asarray(idx)])
+        conv_sub = np.asarray(res.converged[jnp.asarray(idx)])
+        snr_last = k[idx] * np.exp(-tes[-1] / t2[idx]) / 8.0
+        obj_gap_diag = {
+            "p99": float(f"{np.percentile(gap, 99):.3g}"),
+            "worst_n_iter": int(n_iter_sub[wi]),
+            "worst_converged": bool(conv_sub[wi]),
+            "worst_last_echo_snr": float(f"{snr_last[wi]:.3g}"),
+            "n_over_1e2": int(np.sum(gap > 1e-2)),
+        }
+        # gate at 2e-2: ~2x the worst gap ever observed on this subsample
+        # (rician 1.0e-2, gaussian_rician 4.7e-4 — docs/VALIDATION.md
+        # round-5 gap-distribution analysis); was 5e-2 in round 4, which
+        # would only have fired on a 5x regression
+        if gap.max() > 2e-2:
             print(f"oracle gate FAILED ({model}): compiled-kernel objective "
                   f"exceeds the scipy L-BFGS-B oracle by {gap.max():.2e} "
-                  "(rel, > 5e-2) on the accuracy subsample", file=sys.stderr)
+                  "(rel, > 2e-2) on the accuracy subsample", file=sys.stderr)
             raise SystemExit(1)
 
     # amortized timing: the tunneled chip costs ~200 ms of FIXED dispatch +
@@ -303,13 +362,18 @@ def run_model(model, tes, *, headline=False):
     if model != "gaussian":
         record["max_obj_gap_vs_lbfgsb"] = obj_gap[0]
         record["median_obj_gap_vs_lbfgsb"] = obj_gap[1]
+        record["p99_obj_gap_vs_lbfgsb"] = obj_gap_diag["p99"]
+        record["n_obj_gap_over_1e2"] = obj_gap_diag["n_over_1e2"]
+        record["worst_gap_voxel"] = {
+            k2: obj_gap_diag[k2] for k2 in
+            ("worst_n_iter", "worst_converged", "worst_last_echo_snr")}
         record["note"] = (
             "vs_curvefit here measures the LEGITIMATE T2 shift of the "
             "3-parameter noise model against the 2-param gaussian LSQ "
             "oracle (curve_fit fits no sigma), not solver error; these "
             "models gate on median-vs-truth < 5e-2 AND on the compiled "
             "kernel's objective never exceeding the same-model scipy "
-            "L-BFGS-B oracle by > 5e-2 rel on the subsample")
+            "L-BFGS-B oracle by > 2e-2 rel on the subsample")
     print(f"# 256^3 x {len(tes)} TEs {model} fit (fused pallas): "
           f"{dt*1e3:.1f} ms/volume, max rel T2 err vs curve_fit "
           f"{rel_cf.max():.2e} (median vs truth {med_rel:.2e}), converged "
@@ -341,9 +405,9 @@ def run_volume_serving():
         ax = (jnp.arange(n_side, dtype=jnp.float32) - (n_side - 1) / 2) / (n_side / 2)
         zz, yy, xx = jnp.meshgrid(ax, ax, ax, indexing="ij")
         mask = (zz / 0.75) ** 2 + (yy / 0.85) ** 2 + (xx / 0.65) ** 2 <= 1.0
-        return sig, mask, t2
+        return sig, mask, t2, k
 
-    sig, mask, t2 = make_data(jax.random.PRNGKey(0))
+    sig, mask, t2, k_true = make_data(jax.random.PRNGKey(0))
     # mask_frac=0.30 -> compact='auto' resolves to the DENSE path for the
     # gaussian model (above the ~0.15 crossover): every voxel is fitted
     # with trivially-convergent filler outside the mask — no partition
@@ -374,7 +438,7 @@ def run_volume_serving():
     print(f"# 240^3 serving fit_volume: {dt*1e3:.1f} ms end-to-end, "
           f"{n_masked} masked voxels, conv {conv:.4f}, med rel err "
           f"{med_rel:.2e}", file=sys.stderr)
-    print(json.dumps({
+    emit({
         "metric": "t2fit_volume_serving_voxels_per_sec",
         "value": round(rate, 1),
         "unit": "masked voxels/s (240^3 grid, 22% ellipsoid mask, one "
@@ -384,7 +448,111 @@ def run_volume_serving():
         "median_rel_t2_err_vs_truth": float(f"{med_rel:.3g}"),
         "converged": round(conv, 4),
         "n_overflow": n_overflow,
-    }))
+    })
+    sys.stdout.flush()
+
+    # ---- 3-param serving row (VERDICT r4 next #3): gaussian_rician at the
+    # same 240^3 / 22% ellipsoid mask through compact='auto' — the noise
+    # model the in-vivo study actually serves (reference
+    # run_t2mapping.py:49-70). BOTH layouts are timed so the dense/compacted
+    # crossover at this mask fraction is measured here, not just asserted
+    # in PARITY.md; gates mirror the dense-model row: overflow, convergence
+    # on identifiable voxels, median-vs-truth, and the compiled-kernel
+    # objective vs the same-model scipy L-BFGS-B oracle on a subsample.
+    from fetal_t2mapping_tpu.models.volume_fit import resolve_compact
+
+    lo3, hi3 = (1.0, 10.0, 1.0), (1e6, 2000.0, 1000.0)
+    guess3 = (650.0, 110.0, 40.0)
+
+    def fit3(compact):
+        return fit_volume(sig, mask, te, lo3, hi3, model="gaussian_rician",
+                          guess=guess3, ftol=1e-2, gtol=1e-2,
+                          phase1_iters=10, max_iters=60, mask_frac=0.30,
+                          compact=compact, check_capacity=False)
+
+    auto_compact = resolve_compact("auto", "gaussian_rician", 0.30)
+
+    def timed3(compact):
+        r = fit3(compact)
+        float(jnp.mean(r.fun))  # compile + sync
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fit3(compact) for _ in range(4)]
+            float(sum(jnp.mean(o.fun) for o in outs))
+            ts.append((time.perf_counter() - t0) / 4)
+        return float(np.median(ts)), r
+
+    dt3_c, res3_c = timed3(True)
+    dt3_d, res3_d = timed3(False)
+    dt3, res3 = (dt3_c, res3_c) if auto_compact else (dt3_d, res3_d)
+    n_masked3 = int(res3.n_masked)
+    n_overflow3 = int(res3.n_overflow)
+    med_rel3 = float(jnp.median(jnp.abs(res3.t2[m] - t2[m]) / t2[m]))
+    ident = mask & (k_true * jnp.exp(-te[-1] / t2) >= 3 * 8.0)
+    conv3 = float(jnp.mean(res3.converged[m].astype(jnp.float32)))
+    unconv_ident3 = float(jnp.sum(((~res3.converged) & ident)
+                                  .astype(jnp.float32))
+                          / jnp.sum(mask.astype(jnp.float32)))
+    if n_overflow3 or med_rel3 > 5e-2 or unconv_ident3 > 1e-4:
+        print(f"3-param serving gate FAILED: n_overflow {n_overflow3}, "
+              f"median rel T2 err {med_rel3:.2e}, unconverged-identifiable "
+              f"frac {unconv_ident3:.2e}", file=sys.stderr)
+        raise SystemExit(1)
+    # compiled-vs-oracle objective gate on 192 identifiable masked voxels
+    from fetal_t2mapping_tpu.config import FitConfig
+    from fetal_t2mapping_tpu.models.oracle import _objective, fit_batch_scipy
+
+    flat_ident = np.flatnonzero(np.asarray(ident).reshape(-1))
+    idx3 = np.random.default_rng(2).choice(flat_ident, 192, replace=False)
+    idx3_dev = jnp.asarray(idx3)
+    sig_rows = np.asarray(sig.reshape(-1, len(te))[idx3_dev])
+    x_k = np.stack([np.asarray(r.reshape(-1)[idx3_dev])
+                    for r in (res3.k, res3.t2, res3.sigma)], axis=1)
+    cfg3 = FitConfig(model="gaussian_rician", initial_guess=guess3,
+                     lower=lo3, upper=hi3, ftol=1e-2, gtol=1e-2)
+    te64 = np.asarray(te, np.float64)
+    x_s = fit_batch_scipy(sig_rows, te64, cfg3, tight=True)
+    objf = _objective("gaussian_rician")
+    f_k = np.array([objf(x_k[i].astype(np.float64), te64,
+                         sig_rows[i].astype(np.float64))
+                    for i in range(len(idx3))])
+    f_s = np.array([objf(x_s[i], te64, sig_rows[i].astype(np.float64))
+                    for i in range(len(idx3))])
+    gap3 = (f_k - f_s) / np.maximum(np.abs(f_s), 1.0)
+    if gap3.max() > 5e-2:
+        print(f"3-param serving oracle gate FAILED: compiled-kernel "
+              f"objective exceeds L-BFGS-B by {gap3.max():.2e} rel (> 5e-2) "
+              "on the masked subsample", file=sys.stderr)
+        raise SystemExit(1)
+    rate3 = n_masked3 / dt3
+    layout = "compacted" if auto_compact else "dense"
+    print(f"# 240^3 serving fit_volume gaussian_rician: auto={layout} "
+          f"{dt3*1e3:.1f} ms (compacted {dt3_c*1e3:.1f} ms vs dense "
+          f"{dt3_d*1e3:.1f} ms), {n_masked3} masked voxels, conv "
+          f"{conv3:.4f}, med rel err {med_rel3:.2e}, oracle gap max "
+          f"{gap3.max():.2e}", file=sys.stderr)
+    emit({
+        "metric": "t2fit_volume_serving_gaussian_rician_voxels_per_sec",
+        "value": round(rate3, 1),
+        "unit": "masked voxels/s (240^3 grid, 22% ellipsoid mask, "
+                "gaussian_rician 3-start multistart through "
+                "compact='auto'; both layouts timed at this mask "
+                "fraction — crossover direction is measured, not "
+                "asserted)",
+        "vs_baseline": round(rate3 / BASELINE_VOXELS_PER_SEC, 2),
+        "auto_layout": layout,
+        "compacted_ms": round(dt3_c * 1e3, 1),
+        "dense_ms": round(dt3_d * 1e3, 1),
+        "auto_picked_faster": bool(
+            (dt3_c <= dt3_d) == auto_compact),
+        "median_rel_t2_err_vs_truth": float(f"{med_rel3:.3g}"),
+        "converged": round(conv3, 4),
+        "unconverged_identifiable_frac": float(f"{unconv_ident3:.3g}"),
+        "n_overflow": n_overflow3,
+        "max_obj_gap_vs_lbfgsb": float(f"{gap3.max():.3g}"),
+        "median_obj_gap_vs_lbfgsb": float(f"{np.median(gap3):.3g}"),
+    })
     sys.stdout.flush()
 
 
@@ -459,7 +627,7 @@ def run_mosaic_parity():
     print(f"# mosaic parity: interpret vs compiled agree "
           f"(worst rel diff {worst:.2e} over gaussian+rician, 8K voxels)",
           file=sys.stderr)
-    print(json.dumps({
+    emit({
         "metric": "mosaic_interpret_parity_max_rel_diff",
         "value": float(f"{worst:.3g}"),
         "unit": "max relative diff vs interpret mode on TPU over "
@@ -469,7 +637,7 @@ def run_mosaic_parity():
                 "codegen-stable since the -(|s|-|m|)^2/(2 sg^2) identity "
                 "reformulation in models.fgh)",
         "vs_baseline": None,
-    }))
+    })
     sys.stdout.flush()
 
 
@@ -540,7 +708,7 @@ def run_registration_bench():
     print(f"# 192^3 rigid registration (NCC, 3-level, one jitted program): "
           f"{dt:.3f} s, recovery {rot_err:.2e} rad / {t_err:.2e} mm",
           file=sys.stderr)
-    print(json.dumps({
+    emit({
         "metric": "registration_rigid_192_seconds",
         "value": round(dt, 3),
         "unit": "s (192^3 device-resident rigid NCC, 3-level pyramid, "
@@ -549,7 +717,7 @@ def run_registration_bench():
         "vs_baseline": None,
         "rot_err_rad": float(f"{rot_err:.3g}"),
         "trans_err_mm": float(f"{t_err:.3g}"),
-    }))
+    })
     sys.stdout.flush()
 
     # ---- batched multi-pair row: 4 movings (distinct poses) against the
@@ -615,7 +783,7 @@ def run_registration_bench():
           f"sequentially at {dt_seq:.3f} s; worst recovery "
           f"{worst_rot:.2e} rad / {worst_t:.2e} mm)",
           file=sys.stderr)
-    print(json.dumps({
+    emit({
         "metric": "registration_rigid_192_batch4_seconds",
         "value": round(dt4, 3),
         "unit": "s for 4 pairs (192^3 rigid NCC, one jitted multi-pair "
@@ -631,7 +799,7 @@ def run_registration_bench():
         "speedup_vs_sequential": float(f"{dt_seq / dt4:.3g}"),
         "worst_rot_err_rad": float(f"{worst_rot:.3g}"),
         "worst_trans_err_mm": float(f"{worst_t:.3g}"),
-    }))
+    })
     sys.stdout.flush()
 
     # ---- many-small-pairs row: 8 movings at 64^3 (the pipeline's actual
@@ -708,7 +876,7 @@ def run_registration_bench():
           f"({dt8 / 8 * 1e3:.0f} ms/pair, {dt_seq8 / dt8:.2f}x vs the same "
           f"8 solved sequentially at {dt_seq8:.3f} s; worst recovery "
           f"{worst_rot8:.2e} rad / {worst_t8:.2e} mm)", file=sys.stderr)
-    print(json.dumps({
+    emit({
         "metric": "registration_rigid_64_batch8_seconds",
         "value": round(dt8, 3),
         "unit": "s for 8 pairs (64^3 rigid NCC — the per-session fusion "
@@ -722,7 +890,7 @@ def run_registration_bench():
         "speedup_vs_sequential": float(f"{dt_seq8 / dt8:.3g}"),
         "worst_rot_err_rad": float(f"{worst_rot8:.3g}"),
         "worst_trans_err_mm": float(f"{worst_t8:.3g}"),
-    }))
+    })
     sys.stdout.flush()
 
 
@@ -792,7 +960,7 @@ def run_unet_bench():
           f"fp32 {dt32*1e3:.1f} ms, s2d-level0 alternative "
           f"{dts*1e3:.1f} ms, s2d+pallas-conv {dtp*1e3:.1f} ms, "
           f"label agreement {agree:.4f}", file=sys.stderr)
-    print(json.dumps({
+    emit({
         "metric": "unet_forward_160_voxels_per_sec",
         "value": round(rate, 1),
         "unit": f"voxels/s (160^3, z-decomposed bf16-input/fp32-accumulate "
@@ -807,7 +975,7 @@ def run_unet_bench():
         "s2d_pallas_ms": round(dtp * 1e3, 1),
         "effective_tflops": round(tfs, 1),
         "network_gflop": round(gflop, 1),
-    }))
+    })
     sys.stdout.flush()
 
 
@@ -950,7 +1118,7 @@ def run_pipeline_e2e():
               f"{total:.1f} s for 2 sessions (cold start incl. ingest of "
               f"both); steady-state marginal {marginal:.1f} s/session; "
               f"stages {stages}; fit converged {conv:.3f}", file=sys.stderr)
-        print(json.dumps({
+        emit({
             "metric": "pipeline_e2e_seconds",
             "value": round(total, 1),
             "unit": "s COLD for 2 synthetic 3-orientation x 3-TE in-vivo "
@@ -963,8 +1131,8 @@ def run_pipeline_e2e():
             "vs_baseline": round(2 * 150.0 / total, 2),
             "stages_s": stages,
             "fit_converged": round(conv, 4),
-        }))
-        print(json.dumps({
+        })
+        emit({
             "metric": "pipeline_e2e_marginal_seconds",
             "value": round(marginal, 1),
             "unit": "s/session steady-state (session 2 of the same "
@@ -973,13 +1141,13 @@ def run_pipeline_e2e():
                     "fit stage alone, run_t2mapping.py:440)",
             "vs_baseline": round(150.0 / marginal, 2),
             "stages_s": stages_marginal,
-        }))
+        })
         sys.stdout.flush()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def run_pipeline_e2e_fullsize():
+def run_pipeline_e2e_fullsize(marginal_ok=lambda: True):
     """Full-size e2e row (VERDICT r3 weak #1): ONE synthetic clinical-shape
     session — 3 orientations x 3 TEs of HASTE-like anisotropic acquisitions
     (1 mm in-plane, 4 mm slabs, 240x240 matrix) fusing to a 240^3 1 mm^3
@@ -1008,7 +1176,6 @@ def run_pipeline_e2e_fullsize():
 
     tes = [114, 202, 299]
     n = 240
-    rng = np.random.default_rng(3)
     g = np.linspace(-1, 1, n, dtype=np.float32)
     z, y, x = np.meshgrid(g, g, g, indexing="ij")
     # brain-shaped ellipsoid support: half-axes (0.75, 0.85, 0.65) of the
@@ -1050,71 +1217,94 @@ def run_pipeline_e2e_fullsize():
         return fr, (n - 2.5, 0.0, float(n - 1)), (0, 1, 0, 0, 0, -1)
 
     root = tempfile.mkdtemp(prefix="ft2_e2e_full_")
+    log_rows = []
     try:
         profiler.reset()
-        t_start = time.perf_counter()
-        with profiler.stage("full.ingest"):
-            logs = os.path.join(root, "dicom", "logs")
-            os.makedirs(logs)
-            sess = os.path.join(root, "dicom", "2024080611", "30540010")
-            os.makedirs(sess)
-            sid = 0
-            for otype in ("ax", "cor", "sag"):
-                for te in tes:
-                    sid += 1
-                    sig = pd_true * np.exp(-te / np.maximum(t2_true, 1.0))
-                    sig = np.maximum(sig + rng.normal(0, 4.0, sig.shape), 0.0)
-                    frames, ipp, iop = acquisition(sig, otype)
-                    write_test_dicom_multiframe(
-                        os.path.join(sess, f"s{sid}.dcm"),
-                        frames.astype(np.uint16), ipp=ipp, iop=iop, dz=4.0,
-                        te=float(te), spacing=(1.0, 1.0),
-                        series_uid=f"1.2.840.99.9.{sid}")
-            pd.DataFrame([{"date": "2024080611", "dcm_parent": "30540010",
-                           "prj": "prj-004", "sub": "sub-001",
-                           "ses": "ses-01"}]).to_csv(
-                os.path.join(logs, "log_dcms.csv"), index=False)
-            with contextlib.redirect_stdout(sys.stderr):
-                rc = dcm2csv.main(["--path", sess, "--process"])
-            if rc != 0:
-                raise RuntimeError(f"ingest failed rc={rc}")
-
-        session_csvs = [f for f in os.listdir(logs) if f != "log_dcms.csv"]
-        metadata = set_metadata(logs, session_csvs, low_field=True)
+        logs = os.path.join(root, "dicom", "logs")
+        os.makedirs(logs)
         bids = os.path.join(root, "projects/")
         cfg = C.fit_config("gaussian", low_field=True)
-        with contextlib.redirect_stdout(sys.stderr):
-            process_qmri(bids, metadata, in_vivo=True, low_field=True,
-                         synthseg=SynthSegRunner(mode="callable", fn=labeler))
-            with profiler.stage("full.fit"):
-                summaries = process_t2maps(metadata, bids, tes, cfg,
-                                           low_field=True, sim="f",
-                                           make_plots=True)
+
+        def make_session(s_i, ses_name, seed):
+            """Write + ingest one session's 9 HASTE-like acquisitions
+            (same subject/geometry -> identical downstream shapes, so the
+            warm session reuses every compiled program; independent
+            noise)."""
+            rng = np.random.default_rng(seed)
+            parent = f"3054001{s_i}"
+            with profiler.stage("full.ingest"):
+                sess = os.path.join(root, "dicom", "2024080611", parent)
+                os.makedirs(sess)
+                sid = 0
+                for otype in ("ax", "cor", "sag"):
+                    for te in tes:
+                        sid += 1
+                        sig = pd_true * np.exp(-te / np.maximum(t2_true, 1.0))
+                        sig = np.maximum(
+                            sig + rng.normal(0, 4.0, sig.shape), 0.0)
+                        frames, ipp, iop = acquisition(sig, otype)
+                        write_test_dicom_multiframe(
+                            os.path.join(sess, f"s{sid}.dcm"),
+                            frames.astype(np.uint16), ipp=ipp, iop=iop,
+                            dz=4.0, te=float(te), spacing=(1.0, 1.0),
+                            series_uid=f"1.2.840.99.9.{s_i}.{sid}")
+                log_rows.append({"date": "2024080611", "dcm_parent": parent,
+                                 "prj": "prj-004", "sub": "sub-001",
+                                 "ses": ses_name})
+                pd.DataFrame(log_rows).to_csv(
+                    os.path.join(logs, "log_dcms.csv"), index=False)
+                with contextlib.redirect_stdout(sys.stderr):
+                    rc = dcm2csv.main(["--path", sess, "--process"])
+                if rc != 0:
+                    raise RuntimeError(f"ingest failed rc={rc}")
+
+        def run_session(ses_name):
+            session_csvs = [f for f in os.listdir(logs)
+                            if f != "log_dcms.csv"]
+            metadata = set_metadata(logs, session_csvs, low_field=True)
+            md = metadata[metadata["ses"] == ses_name]
+            with contextlib.redirect_stdout(sys.stderr):
+                process_qmri(bids, md, in_vivo=True, low_field=True,
+                             synthseg=SynthSegRunner(mode="callable",
+                                                     fn=labeler))
+                with profiler.stage("full.fit"):
+                    return process_t2maps(md, bids, tes, cfg,
+                                          low_field=True, sim="f",
+                                          make_plots=True)[0]
+
+        def check_session(s, label):
+            """Gates: clinical-like mask, convergence, and a T2-map
+            accuracy spot check vs the simulation truth (recon grid can
+            differ from 240^3 by a voxel of resample rounding: crop all
+            arrays to the common interior)."""
+            mask_frac = s["n_voxels"] / n ** 3
+            if s["n_voxels"] < 0.10 * n ** 3 or s["n_voxels"] > 0.35 * n ** 3:
+                raise RuntimeError(f"full-size mask not clinical-like "
+                                   f"({label}): {mask_frac:.2%} of 240^3")
+            if s["converged_frac"] < 0.98:
+                print(f"full-size e2e gate FAILED ({label}): converged "
+                      f"{s['converged_frac']:.4f} < 0.98", file=sys.stderr)
+                raise SystemExit(1)
+            t2map = np.asarray(nifti.read(s["maps"]["t2"]).data)
+            common = tuple(slice(0, min(a, b))
+                           for a, b in zip(t2map.shape, (n, n, n)))
+            t2c, supc, truc = t2map[common], support[common], t2_true[common]
+            core = tuple(slice(20, -20) for _ in range(3))
+            m = ((t2c > 0) & supc)[core]
+            rel = np.abs(t2c[core][m] - truc[core][m]) / truc[core][m]
+            med_rel = float(np.median(rel))
+            if med_rel > 0.10:
+                print(f"full-size e2e gate FAILED ({label}): median T2 map "
+                      f"error {med_rel:.3f} > 0.10 vs truth",
+                      file=sys.stderr)
+                raise SystemExit(1)
+            return mask_frac, med_rel
+
+        t_start = time.perf_counter()
+        make_session(0, "ses-01", 3)
+        s = run_session("ses-01")
         total = time.perf_counter() - t_start
-        s = summaries[0]
-        mask_frac = s["n_voxels"] / n ** 3
-        if s["n_voxels"] < 0.10 * n ** 3 or s["n_voxels"] > 0.35 * n ** 3:
-            raise RuntimeError(
-                f"full-size mask not clinical-like: {mask_frac:.2%} of 240^3")
-        if s["converged_frac"] < 0.98:
-            print(f"full-size e2e gate FAILED: converged "
-                  f"{s['converged_frac']:.4f} < 0.98", file=sys.stderr)
-            raise SystemExit(1)
-        # accuracy spot check on the written T2 map vs simulation truth
-        # (recon grid can differ from 240^3 by a voxel of resample
-        # rounding: crop all arrays to the common interior)
-        t2map = np.asarray(nifti.read(s["maps"]["t2"]).data)
-        common = tuple(slice(0, min(a, b))
-                       for a, b in zip(t2map.shape, (n, n, n)))
-        t2c, supc, truc = t2map[common], support[common], t2_true[common]
-        core = tuple(slice(20, -20) for _ in range(3))
-        m = ((t2c > 0) & supc)[core]
-        rel = np.abs(t2c[core][m] - truc[core][m]) / truc[core][m]
-        med_rel = float(np.median(rel))
-        if med_rel > 0.10:
-            print(f"full-size e2e gate FAILED: median T2 map error "
-                  f"{med_rel:.3f} > 0.10 vs truth", file=sys.stderr)
-            raise SystemExit(1)
+        mask_frac, med_rel = check_session(s, "cold")
         stages = {name: round(st["seconds"], 3)
                   for name, st in profiler.as_dict().items()}
         print(f"# full-size e2e session (240^3 grid, 3 orient x 3 TE, "
@@ -1129,9 +1319,15 @@ def run_pipeline_e2e_fullsize():
         # 4-thread writer pool's stage timers sum across threads, so this
         # can exceed wall time when downloads overlap (it measures how
         # much link work the session generated, not its wall share).
+        # io.flush_wait is NOT summed in: it times the main thread
+        # BLOCKING on the same writer-pool futures whose work already
+        # accrues under io.download/io.encode, so adding it would count
+        # any waited-on download twice (round-4 advisor finding); it is
+        # reported separately as flush_wait_seconds below.
         tunnel_io = sum(stages.get(k, 0.0) for k in
-                        ("io.download", "io.encode", "io.flush_wait"))
-        print(json.dumps({
+                        ("io.download", "io.encode"))
+        flush_wait = stages.get("io.flush_wait", 0.0)
+        emit({
             "metric": "pipeline_e2e_fullsize_seconds",
             "value": round(total, 1),
             "unit": "s for ONE COLD clinical-size session: 9 HASTE-like "
@@ -1153,13 +1349,70 @@ def run_pipeline_e2e_fullsize():
             "fit_stage_seconds": round(float(s["fit_seconds"]), 2),
             "fit_stage_vs_anchor": round(150.0 / float(s["fit_seconds"]), 1),
             "tunnel_io_thread_seconds": round(tunnel_io, 1),
+            "flush_wait_seconds": round(flush_wait, 1),
             "n_masked_voxels": int(s["n_voxels"]),
             "mask_frac": round(mask_frac, 3),
             "median_t2_map_rel_err": round(med_rel, 4),
             "fit_converged": round(float(s["converged_frac"]), 4),
             "stages_s": stages,
-        }))
+        })
         sys.stdout.flush()
+
+        # ---- steady-state marginal session (VERDICT r4 weak #2 / next
+        # #2): a SECOND clinical-size session — same subject geometry so
+        # every downstream shape matches, fresh noise — in the same
+        # process: programs, compile caches and the tunnel link are warm.
+        # This is the fleet-relevant per-session number at clinical size,
+        # previously only measured at 64^3 and otherwise extrapolated.
+        # marginal_ok is evaluated HERE (after the cold session) so the
+        # shed decision sees the true elapsed time on slow tunnel nights.
+        if marginal_ok():
+            cum1 = {name: st["seconds"]
+                    for name, st in profiler.as_dict().items()}
+            t_warm = time.perf_counter()
+            make_session(1, "ses-02", 7)
+            s2 = run_session("ses-02")
+            marg = time.perf_counter() - t_warm
+            mask_frac2, med_rel2 = check_session(s2, "warm")
+            stages_m = {
+                name: round(st["seconds"] - cum1.get(name, 0.0), 3)
+                for name, st in profiler.as_dict().items()
+                if st["seconds"] - cum1.get(name, 0.0) > 0.0005}
+            tunnel_io_m = sum(stages_m.get(k, 0.0) for k in
+                              ("io.download", "io.encode"))
+            flush_wait_m = stages_m.get("io.flush_wait", 0.0)
+            print(f"# full-size e2e WARM session 2 (240^3): {marg:.1f} s "
+                  f"marginal; fit stage {s2['fit_seconds']:.2f} s; median "
+                  f"T2 map err {med_rel2:.3f}; stage deltas {stages_m}",
+                  file=sys.stderr)
+            emit({
+                "metric": "pipeline_e2e_fullsize_marginal_seconds",
+                "value": round(marg, 1),
+                "unit": "s for the SECOND clinical-size session in the "
+                        "same process (ingest of ITS OWN 9 DICOM "
+                        "acquisitions -> resample -> register/fuse/denoise "
+                        "-> segment -> masks/BET/FeTA -> fit -> maps at "
+                        "240^3 1 mm^3, with programs/compile caches warm): "
+                        "the steady-state per-session cost a fleet pays at "
+                        "clinical size. Still includes the harness's "
+                        "~5 MB/s-tunnel derivative IO "
+                        "(tunnel_io_thread_seconds, thread-summed); "
+                        "vs_baseline is against the reference's ~150 s "
+                        "PER-SESSION fit-stage anchor "
+                        "(run_t2mapping.py:440)",
+                "vs_baseline": round(150.0 / marg, 2),
+                "fit_stage_seconds": round(float(s2["fit_seconds"]), 2),
+                "fit_stage_vs_anchor": round(
+                    150.0 / float(s2["fit_seconds"]), 1),
+                "tunnel_io_thread_seconds": round(tunnel_io_m, 1),
+                "flush_wait_seconds": round(flush_wait_m, 1),
+                "n_masked_voxels": int(s2["n_voxels"]),
+                "mask_frac": round(mask_frac2, 3),
+                "median_t2_map_rel_err": round(med_rel2, 4),
+                "fit_converged": round(float(s2["converged_frac"]), 4),
+                "stages_s": stages_m,
+            })
+            sys.stdout.flush()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1180,6 +1433,9 @@ def main(only=None):
     if only == "unet":
         run_unet_bench()
         return
+    if only == "serving":
+        run_volume_serving()
+        return
     if only:
         configs = [c for c in configs if c[0] == only] or \
             [(only, TES3, only == "gaussian")]
@@ -1191,7 +1447,10 @@ def main(only=None):
     # been observed taking 3-5 min per program load), where it sheds
     # optional rows instead of losing the headline to an external timeout.
     t0 = time.perf_counter()
-    soft_budget = float(os.environ.get("FT2_BENCH_SOFT_BUDGET_S", "1080"))
+    # 1500 s: a normal full run (incl. the round-5 fullsize WARM session
+    # and 3-param serving rows) finishes in ~19-21 min; the budget sheds
+    # optional rows only on pathologically slow tunnel nights
+    soft_budget = float(os.environ.get("FT2_BENCH_SOFT_BUDGET_S", "1500"))
 
     def over_budget(row):
         elapsed = time.perf_counter() - t0
@@ -1201,6 +1460,7 @@ def main(only=None):
               f"s): skipping optional row {row} to guarantee the headline "
               f"prints (rerun `python bench.py --model ...` for it)",
               file=sys.stderr)
+        _SHED.append(row)
         return True
 
     if not only:
@@ -1212,7 +1472,8 @@ def main(only=None):
         if not over_budget("pipeline_e2e"):
             run_pipeline_e2e()
         if not over_budget("pipeline_e2e_fullsize"):
-            run_pipeline_e2e_fullsize()
+            run_pipeline_e2e_fullsize(marginal_ok=lambda: not over_budget(
+                "pipeline_e2e_fullsize_marginal"))
         if not over_budget("volume_serving"):
             run_volume_serving()
 
@@ -1227,16 +1488,16 @@ def main(only=None):
             # hardware-utilization number for a VPU-bound kernel
             peak = exp_unit_peak(jax, jnp)
             achieved = N_SIDE ** 3 * mean_iters * len(tes) / dt
-            print(json.dumps({
+            emit({
                 "metric": "exp_unit_utilization",
                 "value": round(achieved / peak, 4),
                 "unit": "useful-exp fraction of measured exp peak "
                         f"({peak/1e9:.1f} G exp/s); the kernel is VPU-bound,"
                         " not exp-bound",
                 "vs_baseline": None,
-            }))
+            })
             marg, marg_r2 = kernel_marginal_ps(jax, jnp, tes)
-            print(json.dumps({
+            emit({
                 "metric": "kernel_marginal_ps_per_voxel_iteration",
                 "value": round(marg, 1),
                 "unit": "ps: least-squares slope over budgets 2/12/32/52 "
@@ -1246,8 +1507,8 @@ def main(only=None):
                         "poisoned a point — rerun",
                 "fit_r2": round(marg_r2, 4),
                 "vs_baseline": None,
-            }))
-            print(json.dumps({
+            })
+            emit({
                 "metric": "kernel_utilization_vs_op_model",
                 "value": round(marg / KERNEL_OP_MODEL_PS, 3),
                 "unit": "measured full-budget marginal / 1-VPU-op-per-cycle "
@@ -1255,7 +1516,12 @@ def main(only=None):
                         "Newton body); < 1 means the VLIW VPU retires more "
                         "than one of the body's ops per cycle",
                 "vs_baseline": None,
-            }))
+            })
+            # RECAP immediately before the headline: the driver captures
+            # the stdout TAIL, so this one line must carry every row +
+            # gate verdict of the run (VERDICT r4 weak #1). The headline
+            # stays the FINAL line for last-line parsers.
+            emit_recap()
         print(json.dumps(record))
         sys.stdout.flush()
 
@@ -1264,14 +1530,19 @@ if __name__ == "__main__":
     # only `--model NAME` is accepted; a bare positional (e.g.
     # `python bench.py rician`) used to be silently ignored and run the
     # FULL ~16-minute bench — fail fast instead
+    _USAGE = ("usage: python bench.py [--model gaussian|gaussian_rician|"
+              "rician|fullsize|unet|serving]")
     _argv = sys.argv[1:]
     if "--model" in _argv:
         _i = _argv.index("--model")
+        if _i + 1 >= len(_argv):
+            sys.exit(f"bench.py: --model requires a value — {_USAGE}")
         _only, _rest = _argv[_i + 1], _argv[:_i] + _argv[_i + 2:]
+        if _only not in ("gaussian", "gaussian_rician", "rician",
+                         "fullsize", "unet", "serving"):
+            sys.exit(f"bench.py: unknown --model {_only!r} — {_USAGE}")
     else:
         _only, _rest = None, _argv
     if _rest:
-        sys.exit(f"bench.py: unrecognized arguments {_rest!r} — usage: "
-                 "python bench.py [--model gaussian|gaussian_rician|rician"
-                 "|fullsize|unet]")
+        sys.exit(f"bench.py: unrecognized arguments {_rest!r} — {_USAGE}")
     main(_only)
