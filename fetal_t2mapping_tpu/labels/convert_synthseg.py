@@ -26,6 +26,10 @@ uses directly):
                                           their level index map onto decoder
                                           levels deepest-first)
     unet_likelihood       -> head        (1x1x1 conv to label logits)
+    unet_bn_down_L        -> bn_downL    (per-level BatchNormalization —
+    unet_bn_up_*          -> bn_up{...}   SynthSeg trains with
+                                          batch_norm=-1; gamma/beta/mean/var
+                                          fold into inference scale/shift)
 
 The converter is deliberately defensive: it discovers every kernel/bias
 dataset in the file regardless of the exact group nesting, prints the
@@ -47,21 +51,35 @@ import numpy as np
 _DOWN = re.compile(r"conv_downarm_(\d+)_(\d+)")
 _UP = re.compile(r"conv_uparm_(\d+)_(\d+)")
 _HEAD = re.compile(r"likelihood")
+# SynthSeg trains with batch_norm=-1: neuron's conv_enc/conv_dec insert ONE
+# BatchNormalization per level after the level's convs, named
+# {prefix}_bn_down_{level} / {prefix}_bn_up_{level}. Their
+# gamma/beta/moving_mean/moving_variance fold into per-channel scale/shift
+# at inference (Keras default epsilon 1e-3).
+_BN_DOWN = re.compile(r"bn_down_(\d+)")
+_BN_UP = re.compile(r"bn_up_(\d+)")
+_BN_LEAVES = ("gamma", "beta", "moving_mean", "moving_variance")
+_BN_EPS = 1e-3
 
 
 def _collect_conv_weights(h5file):
-    """Walk the HDF5 tree; return ({layer_name: (kernel, bias)}, skipped).
+    """Walk the HDF5 tree; return ({layer: (kernel, bias)}, {bn_layer:
+    {leaf: array}}, skipped).
 
     Handles both Keras layouts: datasets named ``.../kernel:0`` under a
     layer group, and plain ``kernel``/``bias`` names. Real released files
     carry more than conv weights — Keras ``optimizer_weights`` slots (Adam
-    moments reuse the ``kernel``/``bias`` leaf names), norm-layer
-    parameters (gamma/beta/moving_mean/...), training metadata — all of
-    which are SKIPPED and reported, never mistaken for model convs.
+    moments reuse the ``kernel``/``bias`` leaf names), training metadata —
+    all of which are SKIPPED and reported, never mistaken for model convs.
+    BatchNormalization parameters belonging to the unet's per-level BN
+    layers (bn_down_*/bn_up_*) are COLLECTED (SynthSeg's released weights
+    carry them; skipping them would convert a numerically wrong model);
+    norm parameters outside that naming are skipped+reported.
     """
     import h5py
 
     found: Dict[str, Dict[str, np.ndarray]] = {}
+    bn_found: Dict[str, Dict[str, np.ndarray]] = {}
     skipped: List[str] = []
 
     def visit(name, obj):
@@ -72,6 +90,15 @@ def _collect_conv_weights(h5file):
         if "optimizer_weights" in parts or leaf in ("m", "v", "iter",
                                                     "iterations"):
             skipped.append(f"{name} (optimizer state)")
+            return
+        if leaf in _BN_LEAVES:
+            for part in reversed(parts):
+                if _BN_DOWN.search(part) or _BN_UP.search(part):
+                    bn_found.setdefault(part, {})[leaf] = np.asarray(
+                        obj, np.float32)
+                    return
+            skipped.append(f"{name} (norm parameters outside the unet "
+                           f"bn_down_*/bn_up_* naming: {leaf})")
             return
         if leaf not in ("kernel", "bias"):
             skipped.append(f"{name} (non-conv dataset: {leaf})")
@@ -99,7 +126,22 @@ def _collect_conv_weights(h5file):
                 f"conv layer {layer!r} has a kernel but no bias dataset — "
                 "not a Keras SynthSeg layout this converter understands")
         out[layer] = (d["kernel"], d["bias"])
-    return out, skipped
+    for layer, d in bn_found.items():
+        missing = sorted(set(_BN_LEAVES) - set(d))
+        if missing:
+            raise ValueError(
+                f"BatchNormalization layer {layer!r} is missing datasets "
+                f"{missing} — not a Keras SynthSeg layout this converter "
+                "understands")
+    return out, bn_found, skipped
+
+
+def _fold_bn(d: Dict[str, np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """(gamma, beta, moving_mean, moving_variance) -> inference (scale,
+    shift): y = x*s + b with s = gamma/sqrt(var+eps), b = beta - mean*s."""
+    s = d["gamma"] / np.sqrt(d["moving_variance"] + _BN_EPS)
+    return s.astype(np.float32), (d["beta"] - d["moving_mean"] * s
+                                  ).astype(np.float32)
 
 
 def _check_single_unet(down, up, head_names: List[str]) -> None:
@@ -134,7 +176,7 @@ def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, n
     import h5py
 
     with h5py.File(h5_path, "r") as f:
-        layers, skipped = _collect_conv_weights(f)
+        layers, bn_layers, skipped = _collect_conv_weights(f)
     if not layers:
         raise ValueError(f"no conv kernel/bias datasets found in {h5_path!r}")
 
@@ -191,6 +233,36 @@ def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, n
     params["head_b"] = b
     mapping.append((head, "head"))
 
+    if bn_layers:
+        bn_down: List[Tuple[int, str]] = []
+        bn_up: List[Tuple[int, str]] = []
+        for name in bn_layers:
+            m = _BN_DOWN.search(name)
+            if m:
+                bn_down.append((int(m.group(1)), name))
+            else:
+                bn_up.append((int(_BN_UP.search(name).group(1)), name))
+        if (sorted(lv for lv, _ in bn_down) != list(range(n_levels))
+                or len(bn_up) != n_levels - 1):
+            raise ValueError(
+                f"BatchNormalization layer count mismatch: "
+                f"{len(bn_down)} bn_down / {len(bn_up)} bn_up layers for a "
+                f"{n_levels}-level unet (need one per encoder level and one "
+                "per decoder level)")
+        for lv, name in sorted(bn_down):
+            s, b = _fold_bn(bn_layers[name])
+            params[f"bn_down{lv}_s"] = s
+            params[f"bn_down{lv}_b"] = b
+            mapping.append((name, f"bn_down{lv}"))
+        # bn_up indices count the DECODER loop (0 = deepest) in SynthSeg's
+        # neuron fork; sort-and-assign-deepest-first also tolerates names
+        # that continue the downarm level count, like the uparm convs
+        for (_, name), dst_lv in zip(sorted(bn_up), dec_levels):
+            s, b = _fold_bn(bn_layers[name])
+            params[f"bn_up{dst_lv}_s"] = s
+            params[f"bn_up{dst_lv}_b"] = b
+            mapping.append((name, f"bn_up{dst_lv}"))
+
     # architecture self-check: every shape must be consistent with the
     # config the weights imply (raises otherwise)
     from .unet3d import config_from_params, validate_params
@@ -200,7 +272,8 @@ def convert(h5_path: str, npz_path: str, *, verbose: bool = True) -> Dict[str, n
 
     if verbose:
         for src, dst in mapping:
-            print(f"  {src:40s} -> {dst:10s} {params[dst + '_w'].shape}")
+            suffix = "_s" if dst.startswith("bn_") else "_w"
+            print(f"  {src:40s} -> {dst:10s} {params[dst + suffix].shape}")
         for name in skipped:
             print(f"  skipped: {name}")
         print(f"config: {cfg}")

@@ -54,6 +54,15 @@ class UNetConfig:
     base_features: int = 24
     kernel: int = 3
     n_labels: int = len(SYNTHSEG_LABELS)
+    # SynthSeg trains its U-Net with batch_norm=-1 (one BatchNormalization
+    # per level, after the level's convs: neuron's conv_enc/conv_dec name
+    # them unet_bn_down_{lvl} / unet_bn_up_{lvl}), so the RELEASED weight
+    # files carry BN statistics. At inference BN is a per-channel affine;
+    # the converter folds (gamma, beta, mean, var) into scale/shift vectors
+    # bn_down{lvl}_s/_b and bn_up{lvl}_s/_b applied after each level's
+    # conv+ELU stack (encoder: before the skip capture and maxpool;
+    # decoder: before the next upsample / the likelihood head).
+    batch_norm: bool = False
 
     @property
     def divisor(self) -> int:
@@ -80,6 +89,16 @@ def _conv_shapes(cfg: UNetConfig) -> List[Tuple[str, int, int]]:
     return shapes
 
 
+def _bn_shapes(cfg: UNetConfig) -> List[Tuple[str, int]]:
+    """(name, channels) for every per-level folded BN affine (if any)."""
+    if not cfg.batch_norm:
+        return []
+    feats = [cfg.base_features * 2 ** lv for lv in range(cfg.n_levels)]
+    shapes = [(f"bn_down{lv}", feats[lv]) for lv in range(cfg.n_levels)]
+    shapes += [(f"bn_up{lv}", feats[lv]) for lv in range(cfg.n_levels - 2, -1, -1)]
+    return shapes
+
+
 def random_params(cfg: UNetConfig = UNetConfig(), seed: int = 0) -> Dict[str, np.ndarray]:
     """He-initialized parameter tree with the exact shapes real weights need."""
     rng = np.random.default_rng(seed)
@@ -90,6 +109,9 @@ def random_params(cfg: UNetConfig = UNetConfig(), seed: int = 0) -> Dict[str, np
         params[name + "_w"] = rng.normal(
             0, np.sqrt(2.0 / fan_in), (k, k, k, c_in, c_out)).astype(np.float32)
         params[name + "_b"] = np.zeros(c_out, np.float32)
+    for name, c in _bn_shapes(cfg):
+        params[name + "_s"] = (1.0 + rng.normal(0, 0.05, c)).astype(np.float32)
+        params[name + "_b"] = rng.normal(0, 0.05, c).astype(np.float32)
     return params
 
 
@@ -118,6 +140,7 @@ def config_from_params(params: Dict[str, np.ndarray]) -> UNetConfig:
         base_features=int(params["enc0_0_w"].shape[-1]),
         kernel=int(params["enc0_0_w"].shape[0]),
         n_labels=int(params["head_w"].shape[-1]),
+        batch_norm=any(k.startswith("bn_") for k in params),
     )
 
 
@@ -128,6 +151,9 @@ def validate_params(params: Dict[str, np.ndarray], cfg: UNetConfig) -> None:
         k = 1 if name == "head" else cfg.kernel
         expect[name + "_w"] = (k, k, k, c_in, c_out)
         expect[name + "_b"] = (c_out,)
+    for name, c in _bn_shapes(cfg):
+        expect[name + "_s"] = (c,)
+        expect[name + "_b"] = (c,)
     missing = sorted(set(expect) - set(params))
     extra = sorted(set(params) - set(expect))
     if missing or extra:
@@ -174,6 +200,15 @@ def _conv(x, w, b, compute_dtype=jnp.float32):
     return out.reshape(n, d, h, wd, -1) + b
 
 
+def _bn(x, params, name, cfg, compute_dtype=jnp.float32):
+    """Folded inference-time batch norm: per-channel x*s + b (no-op unless
+    cfg.batch_norm). s/b stay fp32; the result is cast back to the
+    activation dtype so inter-layer HBM traffic is unchanged."""
+    if not cfg.batch_norm:
+        return x
+    return (x * params[name + "_s"] + params[name + "_b"]).astype(compute_dtype)
+
+
 def _maxpool2(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")
@@ -199,6 +234,7 @@ def unet_apply(params: Dict, x: jnp.ndarray, cfg: UNetConfig = UNetConfig(),
             x = jax.nn.elu(_conv(x, params[f"enc{lv}_{i}_w"],
                                  params[f"enc{lv}_{i}_b"], compute_dtype)
                            ).astype(compute_dtype)
+        x = _bn(x, params, f"bn_down{lv}", cfg, compute_dtype)
         if lv < cfg.n_levels - 1:
             skips.append(x)
             x = _maxpool2(x)
@@ -209,6 +245,7 @@ def unet_apply(params: Dict, x: jnp.ndarray, cfg: UNetConfig = UNetConfig(),
             x = jax.nn.elu(_conv(x, params[f"dec{lv}_{i}_w"],
                                  params[f"dec{lv}_{i}_b"], compute_dtype)
                            ).astype(compute_dtype)
+        x = _bn(x, params, f"bn_up{lv}", cfg, compute_dtype)
     return _conv(x, params["head_w"], params["head_b"], compute_dtype)
 
 
@@ -321,6 +358,12 @@ def s2d_level0_params(params: Dict, cfg: UNetConfig) -> Dict[str, np.ndarray]:
             out["dec0_0_up_w"] = _fold_upsample_kernel(w[:, :, :, c0:, :])
         else:
             out[f"dec0_{i}_w"] = _s2d_kernel(w)
+    if cfg.batch_norm:
+        # per-level folded BN affines on out-form tensors: slot-major
+        # channel layout (slot*c0 + c), so the per-channel vectors tile x8
+        for name in ("bn_down0", "bn_up0"):
+            out[name + "_s"] = np.tile(np.asarray(params[name + "_s"]), 8)
+            out[name + "_b"] = np.tile(np.asarray(params[name + "_b"]), 8)
     return out
 
 
@@ -433,6 +476,7 @@ def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
             t = jax.nn.elu(_conv_s2d(t, s2d_params["enc0_0_w"],
                                      s2d_params["enc0_0_b"], compute_dtype)
                            ).astype(compute_dtype)
+    t = _bn(t, s2d_params, "bn_down0", cfg, compute_dtype)
     skip0 = t                                     # out-form, 8*base channels
     c0 = cfg.base_features
     # maxpool 2x == max over the 8 sub-position slots of the out-form
@@ -445,6 +489,7 @@ def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
             t = jax.nn.elu(_conv(t, params[f"enc{lv}_{i}_w"],
                                  params[f"enc{lv}_{i}_b"], compute_dtype)
                            ).astype(compute_dtype)
+        t = _bn(t, params, f"bn_down{lv}", cfg, compute_dtype)
         if lv < cfg.n_levels - 1:
             skips.append(t)
             t = _maxpool2(t)
@@ -455,6 +500,7 @@ def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
             t = jax.nn.elu(_conv(t, params[f"dec{lv}_{i}_w"],
                                  params[f"dec{lv}_{i}_b"], compute_dtype)
                            ).astype(compute_dtype)
+        t = _bn(t, params, f"bn_up{lv}", cfg, compute_dtype)
     # --- level-0 decoder in S2D space. dec0_0 = skip-branch (S2D conv on
     # the regridded skip) + upsample-folded branch (3^3 SAME conv on the
     # coarse dec1 output — the 2x upsample never materializes).
@@ -463,6 +509,7 @@ def unet_apply_s2d(params: Dict, s2d_params: Dict, x: jnp.ndarray,
                      residual=t_up)
     for i in range(1, cfg.n_conv_per_level):
         t = s2d_conv_elu(_s2d_regrid(t), f"dec0_{i}_w", f"dec0_{i}_b")
+    t = _bn(t, s2d_params, "bn_up0", cfg, compute_dtype)
     # --- 1^3 head + argmax per slot, then depth-to-space the labels
     wh = params["head_w"].reshape(params["head_w"].shape[-2:])
     logits = (jnp.einsum("nzyxrc,cl->nzyxrl",
