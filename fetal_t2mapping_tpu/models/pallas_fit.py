@@ -465,7 +465,7 @@ def _grid_start3(s, te, lo, hi, n_grid=12):
     return (best_k, jnp.clip(best_t2, lo[1], hi[1]), jnp.clip(sg, lo[2], hi[2]))
 
 
-def _interp_start_gr(s, te, lo, hi, guess):
+def _interp_start_gr(s, te, lo, hi, guess, n_bisect=16):
     """Exact 0-dof interpolation start for gaussian_rician at T == 3.
 
     With 3 echoes and 3 parameters the model s_i^2 = k^2 e^(-2 te_i/T2) + sg^2
@@ -511,7 +511,7 @@ def _interp_start_gr(s, te, lo, hi, guess):
         b = jnp.where(cross, ts[i + 1], b)
         ga = jnp.where(cross, gs[i], ga)
         found = found | cross
-    for _ in range(16):  # geometric bisection: rel err ~(b/a)^(2^-16)
+    for _ in range(n_bisect):  # geometric bisection: rel err ~(b/a)^(2^-n)
         m = jnp.sqrt(a * b)
         gm = g_of([jnp.exp(-2.0 * t / m) for t in te])
         same = (gm > 0.0) == (ga > 0.0)
@@ -531,6 +531,318 @@ def _interp_start_gr(s, te, lo, hi, guess):
     return (jnp.where(valid, k, fb[0]),
             jnp.where(valid, t2r, fb[1]),
             jnp.where(valid, sg, fb[2]))
+
+
+# ------------------------------------------- gaussian_rician VARPRO kernel
+def _gr_varpro_kernel_body(te, lo, hi, guess, max_iters, ftol, gtol,
+                           full_budget, stall_iters, stall_tol,
+                           sig_ref, params_ref, stats_ref):
+    """One (BR, 128) block: VARPRO-reduced gaussian_rician fit.
+
+    The objective f = mean_t (s - sqrt(k^2 E + sg^2))^2 with E = e^(-2te/t2)
+    is LINEAR in (a, b) = (k^2, sg^2) inside the square root, and the inner
+    profile min_{a,b in box} f at FIXED t2 is CONVEX: its exact Hessian is
+    sum_t (s_t / M_t^3) * rank1([E_t, 1]) with s_t >= 0 — so a projected
+    2x2 Newton on (a, b) converges globally in a handful of EXP-FREE
+    iterations (E is fixed). That collapses the 3-D multistart problem to
+    1-D damped Newton on the envelope F(t2) = min_{a,b} f, exactly the
+    reduction that took the gaussian body from a 2x2 ridge-crawler to the
+    early-exiting 1-D loop (see _gauss_kernel_body): the sigma ridge that
+    made gaussian_rician's blocks burn their budget IS the profiled
+    subspace, so crawlers retire in ~2 accepted steps (measured mean
+    n_iter ~2.1 on the bench synthetic, p99 = 8).
+
+    Per outer iteration: T exps (the candidate's E) + a warm-started
+    3-step inner profile + the envelope gradient (exact: envelope theorem,
+    with pinned inner coordinates contributing zero first-order) and the
+    Gauss-Newton Schur-complement reduced curvature (PSD by construction).
+    Basin selection: the loglinear start, the exact 0-dof interpolation
+    start (_interp_start_gr — at T == 3 the interpolant IS the global
+    optimum whenever feasible), and a 12-point static-t2 grid whose E are
+    compile-time constants (the grid's inner profiles are pure FMA+rsqrt).
+
+    Semantics (bounds projection, ftol/stall/lam tests, convergence
+    bookkeeping) mirror _gauss_kernel_body; accuracy is gated in the bench
+    against the same-model scipy L-BFGS-B oracle like the multistart
+    kernel it replaces (reference objective: run_t2mapping.py:133-155)."""
+    import math
+    T = len(te)
+    inv_t = 1.0 / T
+    s = [sig_ref[t] for t in range(T)]
+    lo_k, lo_t2, lo_sg = lo
+    hi_k, hi_t2, hi_sg = hi
+    alo, ahi = lo_k * lo_k, hi_k * hi_k
+    blo, bhi = lo_sg * lo_sg, hi_sg * hi_sg
+    tol_a = 1e-8 * max(ahi - alo, 1.0)
+    tol_b = 1e-8 * max(bhi - blo, 1.0)
+    tol_t = 1e-8 * max(hi_t2 - lo_t2, 1.0)
+
+    def E_at(t2v):
+        u = -2.0 / t2v
+        return [jnp.exp(t * u) for t in te]
+
+    def minv_of(q):
+        # q >= blo normally; the 1e-6 guard only matters for degenerate
+        # custom boxes (keeps w = s*Minv^3 and the 2x2 det inside fp32)
+        return lax.rsqrt(jnp.maximum(q, 1e-6))
+
+    def inner(E, a, b, iters):
+        """``iters`` projected-Newton steps on the convex (a, b) profile.
+        E entries may be tiles or python floats (static grid)."""
+        for _ in range(iters):
+            q = [a * Ei + b for Ei in E]
+            minv = [minv_of(qi) for qi in q]
+            r = [st - qi * mi for st, qi, mi in zip(s, q, minv)]  # s - sqrt(q)
+            ga = -inv_t * sum(ri * Ei * mi for ri, Ei, mi in zip(r, E, minv))
+            gb = -inv_t * sum(ri * mi for ri, mi in zip(r, minv))
+            w = [st * mi * mi * mi for st, mi in zip(s, minv)]
+            haa = 0.5 * inv_t * sum(Ei * Ei * wi for Ei, wi in zip(E, w))
+            hab = 0.5 * inv_t * sum(Ei * wi for Ei, wi in zip(E, w))
+            hbb = 0.5 * inv_t * sum(w)
+            fa = (~(((a <= alo + tol_a) & (ga > 0))
+                    | ((a >= ahi - tol_a) & (ga < 0)))).astype(a.dtype)
+            fb = (~(((b <= blo + tol_b) & (gb > 0))
+                    | ((b >= bhi - tol_b) & (gb < 0)))).astype(b.dtype)
+            a00 = haa * fa + (1.0 - fa)
+            a11 = hbb * fb + (1.0 - fb)
+            a01 = hab * fa * fb
+            b0 = ga * fa
+            b1 = gb * fb
+            det = a00 * a11 - a01 * a01
+            idet = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+            a = jnp.clip(a - (a11 * b0 - a01 * b1) * idet * fa, alo, ahi)
+            b = jnp.clip(b - (a00 * b1 - a01 * b0) * idet * fb, blo, bhi)
+        return a, b
+
+    def f_of(E, a, b):
+        q = [a * Ei + b for Ei in E]
+        return inv_t * sum(jnp.square(st - qi * minv_of(qi))
+                           for st, qi in zip(s, q))
+
+    # ---- basin selection: loglinear, exact interpolant, static t2 grid.
+    # Budget note (measured on TPU at 256^3): the first cut of this kernel
+    # ran the exact inner profile at EVERY grid point (12 x 4 iterations)
+    # plus a 16-step interp bisection — 287.8 ms, slower than the 189 ms
+    # multistart it replaces even at mean 0.8 outer iterations, because
+    # the prelude's ~48 exps + ~150 rsqrt dominate. This version scores
+    # grid basins with the CLOSED-FORM s^2-space least squares
+    # (s_t^2 ~ a E_t + b is linear; the normal-equation coefficients are
+    # compile-time constants per grid point) judged by the TRUE objective,
+    # and polishes only the winner with the exact convex profile — the
+    # round-3 negative result about s^2-space answers does not apply: the
+    # closed form only RANKS basins here, the exact inner Newton + the
+    # 1-D envelope Newton deliver the final optimum (measured vs the
+    # L-BFGS-B oracle: identifiable max gap 5.4e-3, BETTER than the
+    # per-point-profile variant's 6.6e-3, at ~1/3 the scan cost).
+    k_ll, t2_ll = _loglin_tiles(s, te)
+    t2 = jnp.clip(t2_ll, lo_t2, hi_t2)
+    a = jnp.clip(jnp.square(jnp.clip(k_ll, lo_k, hi_k)), alo, ahi)
+    b = jnp.full_like(a, min(max(guess[2] * guess[2], blo), bhi))
+    E = E_at(t2)
+    a, b = inner(E, a, b, 2)
+    f = f_of(E, a, b)
+
+    if T == 3:
+        # 8 bisection steps (t2 resolution ~0.4% inside the bracket cell):
+        # the outer Newton polishes the rest; 16 was half the prelude's exps
+        ki, t2i, sgi = _interp_start_gr(s, te, lo, hi, guess, n_bisect=8)
+        Ei = E_at(t2i)
+        ai, bi = inner(Ei, jnp.square(ki), jnp.square(sgi), 2)
+        fi = f_of(Ei, ai, bi)
+        better = fi < f
+        t2 = jnp.where(better, t2i, t2)
+        a = jnp.where(better, ai, a)
+        b = jnp.where(better, bi, b)
+        f = jnp.where(better, fi, f)
+        E = [jnp.where(better, en, eo) for en, eo in zip(Ei, E)]
+
+    sq = [st * st for st in s]
+    sq_sum = sum(sq)
+    t2_glo = max(lo_t2, 1.0)
+    t2_ghi = max(hi_t2, t2_glo + 1.0)
+    for gidx in range(12):
+        gfrac = 0.02 + 0.96 * gidx / 11.0
+        t2_g = math.exp(math.log(t2_glo)
+                        + gfrac * (math.log(t2_ghi) - math.log(t2_glo)))
+        E_g = [math.exp(-2.0 * t / t2_g) for t in te]      # python floats
+        sE = sum(E_g)
+        sE2 = sum(e * e for e in E_g)
+        idet = 1.0 / max(T * sE2 - sE * sE, 1e-30)
+        s1 = sum(qt * e for qt, e in zip(sq, E_g))
+        ag = jnp.clip((T * s1 - sE * sq_sum) * idet, alo, ahi)
+        bg = jnp.clip((sE2 * sq_sum - sE * s1) * idet, blo, bhi)
+        fg = f_of(E_g, ag, bg)
+        better = fg < f
+        t2 = jnp.where(better, jnp.full_like(t2, t2_g), t2)
+        a = jnp.where(better, ag, a)
+        b = jnp.where(better, bg, b)
+        f = jnp.where(better, fg, f)
+        E = [jnp.where(better, jnp.full_like(ec, eg), ec)
+             for eg, ec in zip(E_g, E)]
+    # ONE exact polish of the winner (the s^2-LS (a, b) are basin-grade,
+    # not optimum-grade); keep (a, b, f) consistent via the accept mask
+    a2, b2 = inner(E, a, b, 3)
+    f2 = f_of(E, a2, b2)
+    keep = f2 <= f
+    a = jnp.where(keep, a2, a)
+    b = jnp.where(keep, b2, b)
+    f = jnp.where(keep, f2, f)
+
+    # ---- outer damped 1-D Newton on the envelope F(t2)
+    def body(carry):
+        a, b, t2, f, lam, convf, scnt, nit, it, E = carry
+        conv = convf > 0.5
+        q = [a * Ei + b for Ei in E]
+        minv = [minv_of(qi) for qi in q]
+        r = [st - qi * mi for st, qi, mi in zip(s, q, minv)]
+        inv_t2 = 1.0 / t2
+        inv_t2sq = inv_t2 * inv_t2
+        # dM/dt2 = a E te / (t2^2 M);  dM/da = E/(2M);  dM/db = 1/(2M)
+        dMt = [a * Ei * (t * inv_t2sq) * mi for Ei, t, mi in zip(E, te, minv)]
+        dMa = [0.5 * Ei * mi for Ei, mi in zip(E, minv)]
+        dMb = [0.5 * mi for mi in minv]
+        g_t = -2.0 * inv_t * sum(ri * di for ri, di in zip(r, dMt))
+        ga = -2.0 * inv_t * sum(ri * di for ri, di in zip(r, dMa))
+        gb = -2.0 * inv_t * sum(ri * di for ri, di in zip(r, dMb))
+        # Gauss-Newton pieces (PSD) for the Schur-reduced curvature
+        htt = 2.0 * inv_t * sum(di * di for di in dMt)
+        hta = 2.0 * inv_t * sum(dt * da for dt, da in zip(dMt, dMa))
+        htb = 2.0 * inv_t * sum(dt * db for dt, db in zip(dMt, dMb))
+        haa = 2.0 * inv_t * sum(da * da for da in dMa)
+        hab = 2.0 * inv_t * sum(da * db for da, db in zip(dMa, dMb))
+        hbb = 2.0 * inv_t * sum(db * db for db in dMb)
+        fa = (~(((a <= alo + tol_a) & (ga > 0))
+                | ((a >= ahi - tol_a) & (ga < 0)))).astype(f.dtype)
+        fb = (~(((b <= blo + tol_b) & (gb > 0))
+                | ((b >= bhi - tol_b) & (gb < 0)))).astype(f.dtype)
+        a00 = haa * fa + (1.0 - fa)
+        a11 = hbb * fb + (1.0 - fb)
+        a01 = hab * fa * fb
+        det = jnp.maximum(a00 * a11 - a01 * a01, 1e-30)
+        v0 = hta * fa
+        v1 = htb * fb
+        schur = (a11 * v0 * v0 - 2.0 * a01 * v0 * v1 + a00 * v1 * v1) / det
+        h_red = jnp.maximum(htt - schur, 0.0)
+        free_t = ~(((t2 <= lo_t2 + tol_t) & (g_t > 0))
+                   | ((t2 >= hi_t2 - tol_t) & (g_t < 0)))
+        ft = free_t.astype(f.dtype)
+        a22 = h_red * ft + (1.0 - ft)
+        a22 = a22 + lam * jnp.maximum(jnp.abs(a22), 1e-12)
+        p_t = -(g_t * ft) / a22
+
+        t2_new = jnp.clip(t2 + p_t, lo_t2, hi_t2)
+        E_new = E_at(t2_new)                      # the T exps of this iter
+        a_new, b_new = inner(E_new, a, b, 3)
+        f_new = f_of(E_new, a_new, b_new)
+
+        accept = f_new <= f
+        rel_red = (f - f_new) / jnp.maximum(
+            jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
+        conv_f = accept & (rel_red <= ftol) & (lam <= 1.0)
+        step_sq = jnp.square(t2_new - t2)
+        conv_x = step_sq <= _XTOL_REL * _XTOL_REL * (1.0 + jnp.square(t2))
+        if gtol > 0:
+            # projected gradient in the ORIGINAL (k, t2, sg) coordinates:
+            # df/dk = 2k df/da, df/dsg = 2sg df/db (a = k^2, b = sg^2)
+            kk = jnp.sqrt(a)
+            sg = jnp.sqrt(b)
+            g_k = 2.0 * kk * ga
+            g_s = 2.0 * sg * gb
+            pg_k = jnp.where(a <= alo + tol_a, jnp.minimum(g_k, 0.0),
+                             jnp.where(a >= ahi - tol_a,
+                                       jnp.maximum(g_k, 0.0), g_k))
+            pg_t = jnp.where(t2 <= lo_t2 + tol_t, jnp.minimum(g_t, 0.0),
+                             jnp.where(t2 >= hi_t2 - tol_t,
+                                       jnp.maximum(g_t, 0.0), g_t))
+            pg_s = jnp.where(b <= blo + tol_b, jnp.minimum(g_s, 0.0),
+                             jnp.where(b >= bhi - tol_b,
+                                       jnp.maximum(g_s, 0.0), g_s))
+            conv_g = jnp.maximum(jnp.maximum(jnp.abs(pg_k), jnp.abs(pg_t)),
+                                 jnp.abs(pg_s)) <= gtol
+        else:
+            conv_g = jnp.zeros_like(accept)
+        newly = (conv_f | conv_x | conv_g | (lam >= _LAM_STALL)) & ~conv
+        if stall_iters > 0:
+            slow_acc = accept & (rel_red <= stall_tol) & ~conv
+            real_prog = accept & (rel_red > stall_tol)
+            scnt = jnp.where(conv | real_prog, 0.0,
+                             jnp.where(slow_acc, scnt + 1.0, scnt))
+            newly = newly | ((scnt >= float(stall_iters)) & ~conv)
+
+        upd = accept & ~conv
+        a = jnp.where(upd, a_new, a)
+        b = jnp.where(upd, b_new, b)
+        t2 = jnp.where(upd, t2_new, t2)
+        f = jnp.where(upd, f_new, f)
+        E = [jnp.where(upd, en, eo) for en, eo in zip(E_new, E)]
+        lam_new = jnp.where(accept, lam * _LAM_DOWN, lam * _LAM_UP)
+        lam = jnp.where(conv, lam, jnp.clip(lam_new, _LAM_MIN, _LAM_MAX))
+        nit = nit + upd.astype(jnp.float32)
+        convf = jnp.maximum(convf, newly.astype(jnp.float32))
+        return (a, b, t2, f, lam, convf, scnt, nit, it + 1, E)
+
+    def cond(carry):
+        if full_budget:
+            return carry[8] < max_iters
+        return (carry[8] < max_iters) & (jnp.min(carry[5]) < 0.5)
+
+    shape = s[0].shape
+    carry0 = (a, b, t2, f,
+              jnp.full(shape, _LAM0, jnp.float32),
+              jnp.zeros(shape, jnp.float32),
+              jnp.zeros(shape, jnp.float32),
+              jnp.zeros(shape, jnp.float32),
+              jnp.asarray(0, jnp.int32), E)
+    a, b, t2, f, _, convf, _, nit, _, _ = lax.while_loop(cond, body, carry0)
+
+    params_ref[0] = jnp.clip(jnp.sqrt(a), lo_k, hi_k)
+    params_ref[1] = t2
+    params_ref[2] = jnp.clip(jnp.sqrt(b), lo_sg, hi_sg)
+    stats_ref[0] = f
+    stats_ref[1] = convf
+    stats_ref[2] = nit
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "te", "lo", "hi", "guess", "max_iters", "ftol", "gtol", "interpret",
+    "full_budget", "stall_iters", "stall_tol"))
+def _gr_varpro_fit_tiles(sig_tiles, *, te, lo, hi, guess, max_iters, ftol,
+                         gtol, interpret=False, full_budget=False,
+                         stall_iters=3, stall_tol=None):
+    """Run the VARPRO gaussian_rician kernel over (T, R, 128) tiles
+    -> ((3, R, 128) params, (3, R, 128) stats). One kernel, per-block VMEM
+    early exit — no multistart grid axis (basin selection is in-body)."""
+    if stall_tol is None:
+        stall_tol = max(ftol, 1e-3)
+    T, R, _ = sig_tiles.shape
+    br = _block_rows(R)
+    grid = (pl.cdiv(R, br),)
+    kernel = functools.partial(_gr_varpro_kernel_body, te, lo, hi, guess,
+                               max_iters, ftol, gtol, full_budget,
+                               stall_iters, stall_tol)
+    params, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((T, br, _LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, br, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, _LANE), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(R) * _LANE * (300 + max_iters * 250),
+            bytes_accessed=(T + 6) * int(R) * _LANE * 4,
+            transcendentals=int(R) * _LANE * (T * 20 + max_iters * T * 2),
+        ),
+        interpret=interpret,
+    )(sig_tiles)
+    return params, stats
 
 
 def _kernel3_body(model, te, lo, hi, guess, max_iters, ftol, gtol,
@@ -805,12 +1117,36 @@ def resolve_prefix3(prefix3, max_iters: int) -> int:
     return prefix3
 
 
+_VARPRO3_DEFAULT = 1
+
+
+def resolve_varpro3(varpro3, model: str) -> bool:
+    """Effective VARPRO-kernel selection for gaussian_rician. None -> the
+    FT2_FIT3_VARPRO env override or the measured default (ON: at 256^3 x
+    3 TEs on one chip the reduced kernel runs 133.7 ms vs the pruned
+    3-start multistart's 189-193 ms, conv 1.0000, compiled-vs-L-BFGS-B
+    oracle max gap 1.45e-3 vs 4.7e-4 — both far inside the 2e-2 gate —
+    mean 1.0 outer iterations; see docs/VALIDATION.md round 5). Resolved
+    OUTSIDE the jitted impl so the choice is part of the jit cache key;
+    only gaussian_rician has the reduction (rician's likelihood is not
+    linear in (k^2, sigma^2) under any transform)."""
+    if model != "gaussian_rician":
+        return False
+    if varpro3 is None:
+        varpro3 = int(_os.environ.get("FT2_FIT3_VARPRO", _VARPRO3_DEFAULT))
+    return bool(varpro3)
+
+
 def _run_tiles(tiles, *, model, te, lo, hi, guess, max_iters, ftol, gtol,
-               no_prior, interpret, prefix3=0):
+               no_prior, interpret, prefix3=0, varpro3=False):
     if model == "gaussian":
         return _gauss_fit_tiles(tiles, te=te, lo=lo, hi=hi,
                                 max_iters=max_iters, ftol=ftol, gtol=gtol,
                                 no_prior=no_prior, interpret=interpret)
+    if varpro3 and model == "gaussian_rician":
+        return _gr_varpro_fit_tiles(tiles, te=te, lo=lo, hi=hi, guess=guess,
+                                    max_iters=max_iters, ftol=ftol, gtol=gtol,
+                                    interpret=interpret)
     if 0 < prefix3 < max_iters:
         return _fit3_tiles_pruned(
             tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
@@ -849,7 +1185,8 @@ def resolve_tail_frac(tail_frac, tail_block: int) -> float:
 
 
 def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
-                     model: str = "gaussian", prefix3: int = 0) -> str:
+                     model: str = "gaussian", prefix3: int = 0,
+                     varpro3: bool = False) -> str:
     """'auto' -> 'single' | 'twophase'.
 
     Measured on one TPU chip at 256^3 x 3 TEs: the two-phase compaction
@@ -883,6 +1220,12 @@ def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
         return strategy
     if model == "rician" and prefix3 > 0:
         return "single"
+    if varpro3 and model == "gaussian_rician":
+        # the VARPRO kernel's sigma ridge is the PROFILED subspace: its
+        # crawler population vanishes (mean ~2 outer iterations, p99 8),
+        # so blocks early-exit like the gaussian body and compaction
+        # traffic costs more than it saves — single wins
+        return "single"
     crossover = 90 if model == "gaussian" else 25
     return "single" if max_iters - phase1_iters <= crossover else "twophase"
 
@@ -890,11 +1233,11 @@ def resolve_strategy(strategy: str, phase1_iters: int, max_iters: int,
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
     "gtol", "tail_frac", "no_prior", "tail_rounds", "interpret", "strategy",
-    "tail_block", "prefix3"))
+    "tail_block", "prefix3", "varpro3"))
 def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
                     max_iters, ftol, gtol, tail_frac, no_prior, interpret,
                     tail_rounds=2, strategy="twophase", tail_block=8,
-                    prefix3=0):
+                    prefix3=0, varpro3=False):
     n = signal.shape[0]
     tiles, n_pad = _to_tiles(signal, n)
 
@@ -907,7 +1250,7 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         params, stats = _run_tiles(
             tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
             max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
-            interpret=interpret, prefix3=prefix3)
+            interpret=interpret, prefix3=prefix3, varpro3=varpro3)
         x = _from_tiles(params, n)
         st = stats.reshape(3, -1)
         return FitResult(x=x, fun=st[0, :n], converged=st[1, :n] > 0.5,
@@ -930,7 +1273,8 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
     params1, stats1 = _run_tiles(
         tiles, model=model, te=te, lo=lo, hi=hi, guess=guess,
         max_iters=phase1_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
-        interpret=interpret, prefix3=prefix3 if prefix3 < phase1_iters else 0)
+        interpret=interpret, prefix3=prefix3 if prefix3 < phase1_iters else 0,
+        varpro3=varpro3)
 
     # tile-flat layout IS voxel order for per-voxel planes (the T-axis
     # transpose in _to_tiles doesn't touch the voxel axis): no _from_tiles
@@ -996,7 +1340,7 @@ def _fit_fused_impl(signal, *, model, te, lo, hi, guess, phase1_iters,
         params2, stats2 = _run_tiles(
             tiles2, model=model, te=te, lo=lo, hi=hi, guess=guess,
             max_iters=max_iters, ftol=ftol, gtol=gtol, no_prior=no_prior,
-            interpret=interpret, prefix3=prefix3)
+            interpret=interpret, prefix3=prefix3, varpro3=varpro3)
         m = cap_b * bc
         x2 = params2.reshape(p_dim, -1)[:, :m]
         st2 = stats2.reshape(3, -1)[:, :m]
@@ -1067,7 +1411,8 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
               tail_rounds: int = 2, no_prior: bool = False,
               interpret: bool | None = None, tail_block: int | None = None,
               strategy: str = "auto", sync: bool = True,
-              prefix3: int | None = None) -> FitResult:
+              prefix3: int | None = None,
+              varpro3: bool | None = None) -> FitResult:
     """Fused-kernel fit of every voxel in the batch.
 
     Args:
@@ -1115,7 +1460,15 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
             best-objective winner continues for the remaining budget
             (cuts the budget-dominant Newton work ~3x; measured accuracy
             parity in docs/VALIDATION.md). None = FT2_FIT3_PREFIX env or
-            the measured default; <= 0 = legacy full multistart.
+            the measured default; <= 0 = legacy full multistart. Ignored
+            when the VARPRO kernel handles the model (see varpro3).
+        varpro3: gaussian_rician only — run the VARPRO-reduced kernel
+            (_gr_varpro_kernel_body): the (k^2, sigma^2) profile is a
+            CONVEX exp-free 2x2 inner Newton and the outer loop is 1-D
+            damped Newton on t2's envelope, so the multistart disappears
+            and the sigma-ridge crawlers retire in ~2 accepted steps.
+            None = FT2_FIT3_VARPRO env or the measured default (see
+            resolve_varpro3); False = the 3-start multistart kernel.
         interpret: force Pallas interpreter mode (default: auto — interpret
             on CPU backends so tests run without a TPU).
         sync: drain the device pipeline with a 4-byte scalar read before
@@ -1138,14 +1491,15 @@ def fit_fused(signal, te, lo, hi, *, model: str = "gaussian",
         interpret = jax.default_backend() == "cpu"
     signal = jnp.asarray(signal, jnp.float32)
     prefix3 = resolve_prefix3(prefix3, max_iters)
+    varpro3 = resolve_varpro3(varpro3, model)
     result = _fit_fused_impl(
         signal, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, tail_rounds=int(tail_rounds),
         interpret=bool(interpret), tail_block=int(tail_block),
         strategy=resolve_strategy(strategy, phase1_iters, max_iters, model,
-                                  prefix3),
-        prefix3=prefix3)
+                                  prefix3, varpro3),
+        prefix3=prefix3, varpro3=varpro3)
     # Drain the pipeline with a scalar host read before returning: on a
     # tunneled chip, transferring from a still-in-flight pallas result can
     # stall the transport for minutes (observed), while a 4-byte scalar sync

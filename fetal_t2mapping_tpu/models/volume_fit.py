@@ -65,18 +65,18 @@ class VolumeFitResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "model", "te", "lo", "hi", "guess", "phase1_iters", "max_iters", "ftol",
     "gtol", "tail_frac", "no_prior", "mask_frac", "interpret", "strategy",
-    "block", "tail_block", "compact", "prefix3"))
+    "block", "tail_block", "compact", "prefix3", "varpro3"))
 def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
                      max_iters, ftol, gtol, tail_frac, no_prior, mask_frac,
                      interpret, strategy="single", block=32, tail_block=8,
-                     compact=True, prefix3=0):
+                     compact=True, prefix3=0, varpro3=False):
     if not compact:
         return _fit_volume_dense(
             signal, mask, model=model, te=te, lo=lo, hi=hi, guess=guess,
             phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol,
             gtol=gtol, tail_frac=tail_frac, no_prior=no_prior,
             interpret=interpret, strategy=strategy, tail_block=tail_block,
-            prefix3=prefix3)
+            prefix3=prefix3, varpro3=varpro3)
     zyx = signal.shape[:3]
     n = zyx[0] * zyx[1] * zyx[2]
     t_axis = signal.shape[3]
@@ -115,7 +115,8 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
         batch, model=model, te=te, lo=lo, hi=hi, guess=guess,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, interpret=interpret,
-        strategy=strategy, tail_block=tail_block, prefix3=prefix3)
+        strategy=strategy, tail_block=tail_block, prefix3=prefix3,
+        varpro3=varpro3)
 
     valid_blk = jnp.arange(blk_cap) < nb_sel
     safe_bidx = jnp.where(valid_blk, bidx, nb)             # nb -> dropped
@@ -157,7 +158,7 @@ def _fit_volume_impl(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
 
 def _fit_volume_dense(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
                       max_iters, ftol, gtol, tail_frac, no_prior, interpret,
-                      strategy, tail_block, prefix3=0):
+                      strategy, tail_block, prefix3=0, varpro3=False):
     """No-compaction volume fit: every voxel goes through the fused kernel,
     unmasked voxels carry trivially-convergent filler (an exact in-bounds
     decay at the clamped initial guess — converges in 1-2 Newton steps, so
@@ -182,7 +183,8 @@ def _fit_volume_dense(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
         batch, model=model, te=te, lo=lo, hi=hi, guess=guess,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
         tail_frac=tail_frac, no_prior=no_prior, interpret=interpret,
-        strategy=strategy, tail_block=tail_block, prefix3=prefix3)
+        strategy=strategy, tail_block=tail_block, prefix3=prefix3,
+        varpro3=varpro3)
 
     p = res.x.shape[1]
     sigma = (res.x[:, 2] if p == 3 else jnp.zeros_like(res.x[:, 0]))
@@ -269,7 +271,8 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
                strategy: str = "auto",
                compact: "str | bool" = "auto",
                check_capacity: bool = True,
-               prefix3: "int | None" = None) -> VolumeFitResult:
+               prefix3: "int | None" = None,
+               varpro3: "bool | None" = None) -> VolumeFitResult:
     """Fit every masked voxel of a (Z, Y, X, T) echo volume on device.
 
     One jitted program: device block-granular mask compaction -> fused
@@ -337,10 +340,12 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
                 f"be left unfitted (n_overflow); raise mask_frac to "
                 f">= {_min_mask_frac(n, n_blocks, block):.6f}", stacklevel=2)
     from .pallas_fit import (resolve_prefix3, resolve_strategy,
-                             resolve_tail_block, resolve_tail_frac)
+                             resolve_tail_block, resolve_tail_frac,
+                             resolve_varpro3)
 
     tail_block = resolve_tail_block(None, model)
     prefix3 = resolve_prefix3(prefix3, max_iters)
+    varpro3 = resolve_varpro3(varpro3, model)
     return _fit_volume_impl(
         signal, mask, model=model, te=te_t, lo=lo_t, hi=hi_t, guess=guess_t,
         phase1_iters=phase1_iters, max_iters=max_iters, ftol=ftol, gtol=gtol,
@@ -348,5 +353,5 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
         no_prior=no_prior, mask_frac=float(mask_frac),
         interpret=bool(interpret), block=int(block), tail_block=tail_block,
         strategy=resolve_strategy(strategy, phase1_iters, max_iters, model,
-                                  prefix3),
-        compact=compact, prefix3=prefix3)
+                                  prefix3, varpro3),
+        compact=compact, prefix3=prefix3, varpro3=varpro3)

@@ -88,7 +88,8 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
                       tail_frac: float | None = None, tail_rounds: int = 2,
                       no_prior: bool = False, interpret=None,
                       tail_block: int | None = None, strategy: str = "auto",
-                      prefix3: int | None = None):
+                      prefix3: int | None = None,
+                      varpro3: bool | None = None):
     """Multi-chip fused-kernel fit: shard_map of the whole fused pipeline.
 
     The fit is voxel-elementwise and everything data-dependent (per-block
@@ -103,7 +104,8 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
 
     from ..models.pallas_fit import (
         _fit_fused_impl, resolve_prefix3, resolve_strategy,
-        resolve_tail_block, resolve_tail_frac, validate_fused_args)
+        resolve_tail_block, resolve_tail_frac, resolve_varpro3,
+        validate_fused_args)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -118,6 +120,7 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
         # with this message, not an opaque XLA shape error inside shard_map
         raise ValueError(f"tail_block must divide 128; got {tail_block}")
     prefix3 = resolve_prefix3(prefix3, max_iters)
+    varpro3 = resolve_varpro3(varpro3, model)
     impl = functools.partial(
         _fit_fused_impl, model=model, te=te_t,
         lo=lo_t, hi=hi_t, guess=guess_t,
@@ -126,8 +129,8 @@ def fit_fused_sharded(signal, te, lo, hi, mesh: Mesh, *, model: str = "gaussian"
         no_prior=no_prior, tail_rounds=int(tail_rounds),
         interpret=bool(interpret), tail_block=tail_block,
         strategy=resolve_strategy(strategy, phase1_iters, max_iters, model,
-                                  prefix3),
-        prefix3=prefix3)
+                                  prefix3, varpro3),
+        prefix3=prefix3, varpro3=varpro3)
 
     from ..models.solver import FitResult
 

@@ -103,7 +103,7 @@ def test_fused_gaussian_rician_matches_multistart():
     hi = (1e5, 2000.0, 500.0)
     guess = (800.0, 110.0, 40.0)
     r_f = fit_fused(sig, TES, lo, hi, model="gaussian_rician", guess=guess,
-                    phase1_iters=20, max_iters=40)
+                    phase1_iters=20, max_iters=40, varpro3=False)
 
     te_j = jnp.asarray(te)
     x0_ll = loglinear_init(sig, te_j, lo, hi)
@@ -318,7 +318,7 @@ def test_prefix_pruned_matches_full_multistart(model):
 
     sig, k, t2, ident = _synthetic3(1536)
     kw = dict(model=model, guess=GUESS3, phase1_iters=10, max_iters=60,
-              ftol=1e-2, gtol=1e-2)
+              ftol=1e-2, gtol=1e-2, varpro3=False)
     r_full = fit_fused(sig, TES, LO3, HI3, prefix3=0, **kw)
     r_pr = fit_fused(sig, TES, LO3, HI3, prefix3=4, **kw)
 
@@ -354,7 +354,7 @@ def test_prefix_pruned_strategies_bit_identical():
     unpruned and the two paths legitimately differ)."""
     sig, _, _, _ = _synthetic3(1024, seed=12)
     kw = dict(model="gaussian_rician", guess=GUESS3, phase1_iters=10,
-              max_iters=40, ftol=1e-2, gtol=1e-2, prefix3=4)
+              max_iters=40, ftol=1e-2, gtol=1e-2, prefix3=4, varpro3=False)
     r_s = fit_fused(sig, TES, LO3, HI3, strategy="single", **kw)
     r_t = fit_fused(sig, TES, LO3, HI3, strategy="twophase", tail_frac=1.0,
                     **kw)

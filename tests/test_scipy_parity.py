@@ -92,12 +92,20 @@ def test_3param_objective_parity_vs_lbfgsb(model):
     f_ref = np.asarray([obj(np.asarray(p, np.float64), te64, s.astype(np.float64))
                         for p, s in zip(ref, sig)])
 
-    # objective parity: ours <= scipy's within tolerance for ~everyone (the
-    # remainder are noise-floor ridge voxels where an fp32 Newton and an f64
-    # quasi-Newton stop at marginally different points of a flat valley)
+    # objective parity, split by identifiability (like the gaussian sweep
+    # above): EVERY identifiable voxel must be no worse than scipy within
+    # tolerance — that is the class where "the minimum" is well defined.
+    # Noise-floor ridge voxels may land at marginally different points of a
+    # flat valley (an fp32 Newton vs an f64 quasi-Newton; the reference
+    # prints per-voxel FAIL on these, run_t2mapping.py:301): they get a
+    # population bound and a worst-gap band instead of a per-voxel gate.
     tol = 1e-3 * np.maximum(np.abs(f_ref), 1.0)
-    frac_no_worse = np.mean(f_ours <= f_ref + tol)
-    assert frac_no_worse >= 0.99, frac_no_worse
+    no_worse = f_ours <= f_ref + tol
+    assert no_worse[ident].all(), (
+        f"{(~no_worse & ident).sum()} identifiable voxels above scipy")
+    assert no_worse.mean() >= 0.97, no_worse.mean()
+    ridge_gap = ((f_ours - f_ref) / np.maximum(np.abs(f_ref), 1.0))[~ident]
+    assert ridge_gap.max() < 0.15 if ridge_gap.size else True, ridge_gap.max()
 
     med_rel = np.median(np.abs(np.asarray(res.x)[ident, 1] - t2[ident]) / t2[ident])
     assert med_rel < 5e-2, med_rel
