@@ -61,26 +61,57 @@ def emit(record):
     sys.stdout.flush()
 
 
+# Per-row gate-evidence fields -> abbreviated recap keys. Only scalars —
+# nested dicts (stages_s, gap distributions) live in the full row lines
+# above the recap. Abbreviation buys the rich tier its place inside the
+# 2000-char driver tail (the two *_err keys share 'e': no record carries
+# both).
+_RECAP_GATE_KEYS = (
+    ("fit_converged", "c"), ("converged", "c"), ("n_overflow", "o"),
+    ("unconverged_identifiable_frac", "u"),
+    ("max_rel_t2_err_vs_curvefit", "e"), ("median_t2_map_rel_err", "e"),
+    ("oracle_gap_max", "g"), ("rot_err_rad", "rr"), ("trans_err_mm", "tm"),
+    ("fit_r2", "r2"),
+)
+
+
 def emit_recap():
     """One compact machine-readable line holding EVERY row of this run
-    (minus the prose 'unit'/'note' strings) plus the list of shed rows.
-    Any gate failure aborts the bench with exit 1 before this prints, so
-    gates_passed=true is a statement about every row present."""
-    drop = ("unit", "note")
-    rows = {r["metric"]: {k: v for k, v in r.items()
-                          if k not in drop and k != "metric"}
+    plus the list of shed rows — sized to survive a 2000-char driver
+    tail capture TOGETHER with the headline (BENCH_r04.json captured
+    exactly 2000 chars; a fatter recap would be FRONT-truncated into
+    unparseable JSON and lose the very rows it exists to evidence).
+    Tier 1 carries value + per-row gate scalars; if that serializes past
+    the budget, tier 2 carries values only. Any gate failure aborts the
+    bench with exit 1 before this prints, so gates_passed=true is a
+    statement about every row present."""
+    def sig(v):
+        if isinstance(v, float):
+            return float(f"{v:.5g}")
+        return v
+
+    def line(rows):
+        return {
+            "metric": "bench_recap",
+            "value": len(rows),
+            "unit": "rows this run (v=value c=converged o=n_overflow "
+                    "u=unconverged-identifiable e=rel-err g=oracle-gap "
+                    "rr/tm=pose-err r2=fit_r2); gate failures exit 1 "
+                    "before this line, so every row listed passed",
+            "vs_baseline": None,
+            "gates_passed": True,
+            "rows": rows,
+            "shed_rows": list(_SHED),
+        }
+
+    rich = {r["metric"]: {"v": sig(r.get("value")),
+                          **{a: sig(r[k]) for k, a in _RECAP_GATE_KEYS
+                             if isinstance(r.get(k), (int, float))}}
             for r in _ROWS}
-    emit({
-        "metric": "bench_recap",
-        "value": len(rows),
-        "unit": "rows emitted this run (full records minus prose; any "
-                "gate failure exits 1 before this line, so every row "
-                "listed here passed its gates)",
-        "vs_baseline": None,
-        "gates_passed": True,
-        "rows": rows,
-        "shed_rows": list(_SHED),
-    })
+    rec = line(rich)
+    if len(json.dumps(rec)) > 1400:     # leave room for the headline row
+        rec = line({r["metric"]: sig(r.get("value")) for r in _ROWS})
+    emit(rec)
     sys.stdout.flush()
 
 
@@ -1301,6 +1332,26 @@ def run_pipeline_e2e_fullsize(marginal_ok=lambda: True):
             return mask_frac, med_rel
 
         t_start = time.perf_counter()
+        if os.environ.get("FT2_BENCH_PREWARM", "1") != "0":
+            # the fleet pattern (VERDICT r4 task 6): a production service
+            # knows its acquisition protocol, so it prewarms the big
+            # device programs from PROTOCOL GEOMETRY at process start,
+            # overlapping their one-time per-process loads with ingest.
+            # Program identity depends on array shapes/dtypes only, so
+            # protocol shape + dtype is all the prewarm needs (each
+            # orientation converts to a (n/4, n, n) uint16 grid at
+            # (1, 1, 4) mm; direction cosines ride as traced operands).
+            # Started INSIDE the timed window — no cost is hidden.
+            # CLI sessions get the same via `qmri_reconstruction
+            # --prewarm` (header-derived geometry at stage-2 entry).
+            from fetal_t2mapping_tpu.core import Volume
+            from fetal_t2mapping_tpu.utils.prewarm import \
+                start_recon_prewarm
+            acq_geoms = {
+                o: Volume(np.broadcast_to(np.uint16(0), (n // 4, n, n)),
+                          spacing=(1.0, 1.0, 4.0))
+                for o in ("ax", "cor", "sag")}
+            start_recon_prewarm(acq_geoms, n_echoes=len(tes))
         make_session(0, "ses-01", 3)
         s = run_session("ses-01")
         total = time.perf_counter() - t_start

@@ -43,6 +43,12 @@ def parse_arguments(argv=None):
                              "SetMetricFixedMask design (registration_itk); "
                              "pass an explicit fixed_mask through the API "
                              "to isolate a structure instead")
+    parser.add_argument("--prewarm", action="store_true",
+                        help="Overlap one-time device program loads with "
+                             "the stage's host/IO phases: a background "
+                             "thread first-executes the big programs on "
+                             "synthetic data of this run's acquisition "
+                             "shapes (in-vivo; results unchanged)")
     parser.add_argument("--mesh", type=int, default=None, metavar="N",
                         help="Shard device work over the first N devices: "
                              "registration metric samples and jax-mode "
@@ -75,6 +81,7 @@ def main(argv=None):
         registration_kwargs=(dict(fixed_mask="auto")
                              if args.masked_metric else None),
         mesh=mesh,
+        prewarm=args.prewarm,
     )
     return 0
 

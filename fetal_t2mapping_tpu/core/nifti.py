@@ -151,6 +151,30 @@ def read(path: str) -> Volume:
     return parse(_load_raw(path), name=str(path))
 
 
+def read_header(path: str) -> Volume:
+    """Geometry-only read: decode the 352-byte header and return a Volume
+    whose ``data`` is a zero broadcast VIEW of the right shape and dtype
+    (no voxel payload is read or allocated — for .nii.gz only the first
+    deflate blocks are inflated). For planning/prewarm paths that need a
+    clinical-size input's shape + affine without touching megabytes
+    (:mod:`..utils.prewarm`). Error contract matches :func:`read`."""
+    from . import volcache
+
+    cached = volcache.get(path)
+    if cached is not None:
+        return cached
+    if volcache.pending(path):
+        return read(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    try:
+        with _open(path, "rb") as f:
+            raw = f.read(_HDR_SIZE)
+    except (OSError, EOFError, zlib.error) as exc:
+        raise ValueError(f"{path}: unreadable NIfTI payload ({exc})") from exc
+    return parse(raw, name=str(path), header_only=True)
+
+
 def _load_raw(path: str) -> bytes:
     """gz-transparent byte load with a uniform error contract.
 
@@ -285,14 +309,17 @@ class deferred_flushes:
         return False
 
 
-def parse(raw: bytes, name: str = "<bytes>") -> Volume:
+def parse(raw: bytes, name: str = "<bytes>",
+          header_only: bool = False) -> Volume:
     """Decode an in-memory NIfTI-1 byte string into a Volume.
 
     Error contract (the CLI reads arbitrary user files): any structural
     corruption raises ValueError naming the file — never struct.error, a
     hang, or an unbounded allocation (np.frombuffer validates its count
     against the buffer BEFORE allocating, so a forged dim field cannot
-    commit memory)."""
+    commit memory). ``header_only`` skips the payload: ``data`` becomes a
+    zero broadcast view of the declared shape/dtype (see
+    :func:`read_header`)."""
     path = name
     if len(raw) < _HDR_SIZE:
         raise ValueError(
@@ -324,8 +351,6 @@ def parse(raw: bytes, name: str = "<bytes>") -> Volume:
     vox_offset = struct.unpack_from(endian + "f", raw, 108)[0]
     scl_slope = struct.unpack_from(endian + "f", raw, 112)[0]
     scl_inter = struct.unpack_from(endian + "f", raw, 116)[0]
-    qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
-    sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
 
     if any(d < 0 for d in shape_xyz):
         raise ValueError(f"{path}: negative dimension in header, dim={dim}")
@@ -333,6 +358,10 @@ def parse(raw: bytes, name: str = "<bytes>") -> Volume:
     if not np.isfinite(vox_offset) or vox_offset < 0:
         raise ValueError(f"{path}: invalid vox_offset {vox_offset}")
     offset = int(vox_offset) if vox_offset else _HDR_SIZE + 4
+    if header_only:
+        data = np.broadcast_to(np.zeros((), dtype.newbyteorder("=")),
+                               shape_xyz[::-1])
+        return _finish_parse(raw, endian, path, data, pixdim)
     try:
         # frombuffer validates count*itemsize against the buffer BEFORE
         # allocating: a forged 32767^3 dim cannot commit memory
@@ -353,7 +382,13 @@ def parse(raw: bytes, name: str = "<bytes>") -> Volume:
         if data.dtype.byteorder not in ("=", "|", "<"):
             data = data.astype(data.dtype.newbyteorder("="))
 
-    # ------------------------------------------------ geometry
+    return _finish_parse(raw, endian, path, data, pixdim)
+
+
+def _finish_parse(raw, endian, path, data, pixdim) -> Volume:
+    """Geometry decode shared by the full and header-only parse paths."""
+    qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
+    sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
     if sform_code > 0:
         srow = np.array(struct.unpack_from(endian + "12f", raw, 280), dtype=np.float64)
         aff = np.eye(4)

@@ -44,6 +44,12 @@ def _remap(labels):
 
 
 def synthseg_to_feta(labels: Volume) -> Volume:
-    """Remap a SynthSeg label volume to FeTA classes (geometry preserved)."""
-    out = np.asarray(_remap(jnp.asarray(np.asarray(labels.data))))
+    """Remap a SynthSeg label volume to FeTA classes (geometry preserved).
+
+    Returns a DEVICE-backed Volume: the pipeline immediately write_asyncs
+    the result, so the (clinical-size) download rides the writer pool off
+    the critical path instead of blocking here — measured 40 -> ~4 s on
+    the recon.feta stage of a 240^3 session over the tunneled chip.
+    ``np.asarray(vol.data)`` materializes on host as usual."""
+    out = _remap(jnp.asarray(np.asarray(labels.data)))
     return labels.with_data(out)

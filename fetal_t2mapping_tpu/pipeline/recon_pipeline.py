@@ -408,14 +408,21 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
                  low_field: bool, synthseg: Optional[SynthSegRunner] = None,
                  seeds_key: str = C.DEFAULT_PHANTOM_SEEDS_KEY,
                  registration_kwargs: Optional[dict] = None,
-                 mesh=None) -> None:
+                 mesh=None, prewarm: bool = False) -> None:
     """Full stage-2 pipeline (reference run_qmri_reconstruction.py:5-92).
 
     ``mesh`` (a ``jax.sharding.Mesh``) spreads the stage's device work over
     the mesh: every rigid/affine registration solve shards its metric-sample
     axis (recon.registration ``mesh=``), and jax-mode SynthSeg inference
     shards the U-Net's z axis (labels.unet3d ``mesh=``). Results are
-    identical to the single-device run."""
+    identical to the single-device run.
+
+    ``prewarm=True`` (in-vivo) starts a background thread that first-
+    executes the big device programs on synthetic data of this metadata's
+    acquisition shapes (header reads only), overlapping their one-time
+    remote loads with the stage's host/IO-bound phases — see
+    :mod:`..utils.prewarm`. Results are unaffected; it only moves
+    cold-start cost off the critical path."""
     from ..utils.profiling import profiler
 
     if mesh is not None:
@@ -425,6 +432,17 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
             import dataclasses as _dc
 
             synthseg = _dc.replace(synthseg, mesh=mesh)
+    if prewarm and in_vivo:
+        from ..utils.prewarm import geoms_from_metadata, start_recon_prewarm
+
+        geoms = geoms_from_metadata(metadata, bids_path)
+        if len(geoms) == 3:
+            start_recon_prewarm(
+                geoms, n_echoes=int(metadata["EchoTime"].nunique()),
+                registration_kwargs=registration_kwargs)
+        else:
+            log.warning("prewarm skipped: found orientations %s",
+                        sorted(geoms))
     # one flush barrier for the whole pipeline: the per-stage flush-on-exit
     # barriers become no-ops (nifti.deferred_flushes), so checkpoint
     # downloads/encodes drain on the writer pool WHILE later stages compute

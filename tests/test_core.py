@@ -150,7 +150,21 @@ class TestEchoStack:
         assert pad_bucket(257) == 512
         assert pad_bucket(8192) == 8192
         assert pad_bucket(8193) == 16384
-        assert pad_bucket(100000) == 104 * 1024
+
+    def test_pad_bucket_geometric_fleet_reuse(self):
+        # above the granule, buckets form a 1.1-ratio geometric series
+        # (snapped to granule multiples): <= ~10% padded rows...
+        for n in (100_000, 1_000_000, 3_065_159):
+            b = pad_bucket(n)
+            assert b >= n and b % 8192 == 0
+            assert b <= int(n * 1.1) + 8192
+        # ...and the whole clinical-size mask range (2.5-3.5M voxels, one
+        # subject each in a fleet) collapses to a handful of programs
+        buckets = {pad_bucket(n) for n in range(2_500_000, 3_500_000, 10_000)}
+        assert len(buckets) <= 5, sorted(buckets)
+        # monotone: a bigger mask never gets a smaller bucket
+        ns = [pad_bucket(n) for n in range(1, 200_000, 997)]
+        assert ns == sorted(ns)
 
 
 class TestNiftiCorruptionFuzz:
