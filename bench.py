@@ -567,10 +567,9 @@ def run_volume_serving():
         "metric": "t2fit_volume_serving_gaussian_rician_voxels_per_sec",
         "value": round(rate3, 1),
         "unit": "masked voxels/s (240^3 grid, 22% ellipsoid mask, "
-                "gaussian_rician 3-start multistart through "
-                "compact='auto'; both layouts timed at this mask "
-                "fraction — crossover direction is measured, not "
-                "asserted)",
+                "gaussian_rician default kernel through compact='auto'; "
+                "both layouts timed at this mask fraction — crossover "
+                "direction is measured, not asserted)",
         "vs_baseline": round(rate3 / BASELINE_VOXELS_PER_SEC, 2),
         "auto_layout": layout,
         "compacted_ms": round(dt3_c * 1e3, 1),

@@ -209,15 +209,29 @@ def _fit_volume_dense(signal, mask, *, model, te, lo, hi, guess, phase1_iters,
 # 32-voxel block, the dense path costs the kernel's per-voxel fit on the
 # whole FOV (~2.5 ns gaussian, ~19 ns for the 3-start multistart models).
 # Equating the two puts the gaussian crossover near mask_frac 0.12-0.15 and
-# the 3-param models near 0.5.
+# the 3-param MULTISTART models near 0.5. The round-5 VARPRO
+# gaussian_rician kernel is ~2.4x faster per voxel (~8 ns), which drops its
+# crossover: the driver bench row times BOTH layouts at mask_frac 0.30 and
+# measured dense 90.0 ms vs compacted 98.2 ms — fitting the linear cost
+# model through that point puts the crossover near 0.2.
 _DENSE_CROSSOVER_FRAC = {"gaussian": 0.15}
 _DENSE_CROSSOVER_DEFAULT = 0.55
+_DENSE_CROSSOVER_VARPRO_GR = 0.20
 
 
-def resolve_compact(compact, model: str, mask_frac: float) -> bool:
-    """Resolve the fit_volume ``compact`` knob ('auto' | bool) -> bool."""
+def resolve_compact(compact, model: str, mask_frac: float,
+                    varpro3=None) -> bool:
+    """Resolve the fit_volume ``compact`` knob ('auto' | bool) -> bool.
+
+    ``varpro3`` mirrors fit_volume's knob (None = env/default): the VARPRO
+    gaussian_rician kernel has its own, lower dense crossover."""
     if compact == "auto":
-        cross = _DENSE_CROSSOVER_FRAC.get(model, _DENSE_CROSSOVER_DEFAULT)
+        from .pallas_fit import resolve_varpro3
+
+        if model == "gaussian_rician" and resolve_varpro3(varpro3, model):
+            cross = _DENSE_CROSSOVER_VARPRO_GR
+        else:
+            cross = _DENSE_CROSSOVER_FRAC.get(model, _DENSE_CROSSOVER_DEFAULT)
         return float(mask_frac) < cross
     if isinstance(compact, bool):
         return compact
@@ -297,8 +311,9 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
             sort, gather or scatter, no capacity to overflow. 'auto' picks
             the dense path when ``mask_frac`` is above the measured
             crossover for the model (see resolve_compact; ~0.15 for
-            gaussian, ~0.55 for the 3-param multistart models). Per-voxel
-            results are identical either way.
+            gaussian, ~0.2 for the VARPRO gaussian_rician kernel, ~0.55
+            for the 3-param multistart kernels). Per-voxel results are
+            identical either way.
         check_capacity: eagerly count the touched blocks and warn before
             launching if the mask exceeds capacity (one extra dispatch + a
             4-byte host sync). Pipelined serving loops can pass False to
@@ -323,7 +338,7 @@ def fit_volume(signal, mask, te, lo, hi, *, model: str = "gaussian",
     n = int(np_prod(signal.shape[:3]))
     n_pad = -(-n // block) * block
     blk_cap = _block_capacity(n, mask_frac, block)
-    compact = resolve_compact(compact, model, mask_frac)
+    compact = resolve_compact(compact, model, mask_frac, varpro3)
     if check_capacity and compact:
         # one fused dispatch + a 4-byte sync; cheap vs a silent underfit.
         # The sync serializes the caller on the previous program, so

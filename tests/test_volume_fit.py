@@ -172,11 +172,20 @@ def test_resolve_compact_auto():
     # gaussian crossover ~0.15: small masks compact, big masks go dense
     assert resolve_compact("auto", "gaussian", 0.10) is True
     assert resolve_compact("auto", "gaussian", 0.30) is False
-    # 3-param multistart kernels are ~8x heavier per voxel: compaction
+    # 3-param MULTISTART kernels are ~8x heavier per voxel: compaction
     # pays until much larger fractions
     assert resolve_compact("auto", "rician", 0.30) is True
-    assert resolve_compact("auto", "gaussian_rician", 0.30) is True
     assert resolve_compact("auto", "rician", 0.60) is False
+    # the VARPRO gaussian_rician kernel (the default) is ~2.4x faster per
+    # voxel than the multistart one, so its crossover drops to ~0.2
+    # (driver-measured at 240^3: dense 90.0 ms < compacted 98.2 ms at
+    # mask_frac 0.30)
+    assert resolve_compact("auto", "gaussian_rician", 0.30,
+                           varpro3=True) is False
+    assert resolve_compact("auto", "gaussian_rician", 0.15,
+                           varpro3=True) is True
+    assert resolve_compact("auto", "gaussian_rician", 0.30,
+                           varpro3=False) is True
     # explicit booleans pass through; junk rejected
     assert resolve_compact(True, "gaussian", 0.9) is True
     assert resolve_compact(False, "rician", 0.01) is False
