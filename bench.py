@@ -1046,6 +1046,19 @@ def run_pipeline_e2e():
     try:
         profiler.reset()
         t_start = time.perf_counter()
+        if os.environ.get("FT2_BENCH_PREWARM", "1") != "0":
+            # protocol-geometry prewarm, same fleet pattern as the
+            # full-size row: the one-time program loads overlap the DICOM
+            # ingest below instead of serializing inside session 1.
+            # Started inside the timed window.
+            from fetal_t2mapping_tpu.core import Volume
+            from fetal_t2mapping_tpu.utils.prewarm import \
+                start_recon_prewarm
+            start_recon_prewarm(
+                {o: Volume(np.broadcast_to(np.uint16(0), (n // 4, n, n)),
+                           spacing=(1.0, 1.0, 4.0))
+                 for o in ("ax", "cor", "sag")},
+                n_echoes=len(tes))
 
         # ---- stage 1: DICOM ingest (9 enhanced multi-frame files: 3
         # orientations x 3 TEs, 4 mm slabs along each orientation's normal
