@@ -439,7 +439,8 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
         if len(geoms) == 3:
             start_recon_prewarm(
                 geoms, n_echoes=int(metadata["EchoTime"].nunique()),
-                registration_kwargs=registration_kwargs)
+                registration_kwargs=registration_kwargs,
+                synthseg=synthseg)
         else:
             log.warning("prewarm skipped: found orientations %s",
                         sorted(geoms))

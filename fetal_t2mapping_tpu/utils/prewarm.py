@@ -35,6 +35,7 @@ or explicitly, to overlap an even earlier phase (e.g. ingest)::
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from typing import Dict, Optional, Sequence
@@ -82,7 +83,7 @@ def _smooth_noise(shape, rng):
 def _run(acq_geoms: Dict[str, Volume], handle: PrewarmHandle, *,
          fixed_type: str, n_echoes: int, denoise: bool,
          high_res: float, registration_kwargs: Optional[dict],
-         labels: bool) -> None:
+         labels: bool, synthseg=None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -154,6 +155,20 @@ def _run(acq_geoms: Dict[str, Volume], handle: PrewarmHandle, *,
             synthseg_to_feta(lab)
             handle.steps.append("feta")
 
+        if getattr(synthseg, "mode", "") == "jax" and synthseg.available():
+            # 5) jax-mode segmentation: the z-decomposed U-Net forward at
+            #    the HR shape is the next-biggest program group of the
+            #    session (the real weights are tiny next to it). One label
+            #    download (~27 MB int16) rides along — half a derivative.
+            from ..labels.unet3d import load_params, segment_volume
+
+            weights = (synthseg.weights
+                       or os.environ.get("FT2_SYNTHSEG_WEIGHTS"))
+            segment_volume(load_params(weights),
+                           rng.random(fused.shape).astype(np.float32),
+                           mesh=getattr(synthseg, "mesh", None))
+            handle.steps.append("unet")
+
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
     try:
@@ -178,6 +193,7 @@ def start_recon_prewarm(
     high_res: float = 1.0,
     registration_kwargs: Optional[dict] = None,
     labels: bool = True,
+    synthseg=None,
 ) -> PrewarmHandle:
     """Start the background prewarm for one session geometry.
 
@@ -185,8 +201,11 @@ def start_recon_prewarm(
     Volume for that acquisition (from :func:`..core.nifti.read_header`;
     data is never read). ``registration_kwargs`` must match what the
     session will pass (different statics/shapes = different programs).
-    Returns immediately; the daemon thread executes each program group
-    once and block_until_ready's it.
+    ``synthseg`` (a :class:`..labels.synthseg.SynthSegRunner`) additionally
+    prewarms the jax-mode U-Net forward at the HR shape when that is the
+    session's segmentation backend (other modes run out-of-process and
+    have nothing to load here). Returns immediately; the daemon thread
+    executes each program group once and block_until_ready's it.
     """
     geoms = dict(acq_geoms)
     if fixed_type not in geoms:
@@ -197,7 +216,7 @@ def start_recon_prewarm(
                             n_echoes=n_echoes, denoise=denoise,
                             high_res=high_res,
                             registration_kwargs=registration_kwargs,
-                            labels=labels),
+                            labels=labels, synthseg=synthseg),
         name="ft2-prewarm", daemon=True)
     box["handle"] = handle = PrewarmHandle(thread)
     with profiler.stage("recon.prewarm_start"):

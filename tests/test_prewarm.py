@@ -118,6 +118,31 @@ class TestPrewarm:
         assert h.error is None, h.error
         assert h.steps == ["resample", "fuse", "reg_echo", "feta"]
 
+    def test_jax_synthseg_forward_is_prewarmed(self, tmp_path):
+        from fetal_t2mapping_tpu.labels.unet3d import (SYNTHSEG_LABELS,
+                                                       UNetConfig,
+                                                       random_params)
+
+        cfg = UNetConfig(n_levels=3, base_features=4,
+                         n_labels=len(SYNTHSEG_LABELS))
+        wpath = str(tmp_path / "w.npz")
+        np.savez(wpath, **random_params(cfg))
+        h = start_recon_prewarm(
+            _acq_geoms(), n_echoes=2, denoise=False,
+            registration_kwargs=dict(REG_FAST),
+            synthseg=SynthSegRunner(mode="jax", weights=wpath))
+        h.wait(timeout=300)
+        assert h.error is None, h.error
+        assert h.steps == ["resample", "fuse", "reg_echo", "feta", "unet"]
+
+    def test_non_jax_synthseg_modes_skip_unet(self):
+        h = start_recon_prewarm(_acq_geoms(), n_echoes=2, denoise=False,
+                                registration_kwargs=dict(REG_FAST),
+                                synthseg=SynthSegRunner(mode="fake"))
+        h.wait(timeout=300)
+        assert h.error is None, h.error
+        assert "unet" not in h.steps
+
     def test_requires_fixed_orientation(self):
         geoms = _acq_geoms()
         del geoms["ax"]
