@@ -109,7 +109,9 @@ def emit_recap():
                              if isinstance(r.get(k), (int, float))}}
             for r in _ROWS}
     rec = line(rich)
-    if len(json.dumps(rec)) > 1400:     # leave room for the headline row
+    # 1650 + the headline row (measured 251 chars; budget 350) fits the
+    # 2000-char tail; a full 18-row rich recap measures ~1560
+    if len(json.dumps(rec)) > 1650:
         rec = line({r["metric"]: sig(r.get("value")) for r in _ROWS})
     emit(rec)
     sys.stdout.flush()
@@ -1042,7 +1044,11 @@ def run_pipeline_e2e():
     t2_true = 140.0 + 30.0 * np.sin(2 * x) * np.cos(2 * y) * np.cos(2 * z)
     pd_true = 900.0 * np.exp(-3.0 * r ** 2) * (1 + 0.2 * np.sin(5 * x) * np.cos(4 * y))
 
+    # ONE definition, used by the prewarm AND the sessions: levels/iters
+    # are jit statics, so a prewarm with different registration kwargs
+    # would load a disjoint program set and leave the session's cold
     root = tempfile.mkdtemp(prefix="ft2_e2e_")
+    reg_kwargs = dict(levels=(2, 1), sigmas=(1.0, 0.0), iters=(80, 40))
     try:
         profiler.reset()
         t_start = time.perf_counter()
@@ -1058,7 +1064,8 @@ def run_pipeline_e2e():
                 {o: Volume(np.broadcast_to(np.uint16(0), (n // 4, n, n)),
                            spacing=(1.0, 1.0, 4.0))
                  for o in ("ax", "cor", "sag")},
-                n_echoes=len(tes))
+                n_echoes=len(tes),
+                registration_kwargs=dict(reg_kwargs))
 
         # ---- stage 1: DICOM ingest (9 enhanced multi-frame files: 3
         # orientations x 3 TEs, 4 mm slabs along each orientation's normal
@@ -1135,9 +1142,7 @@ def run_pipeline_e2e():
         def _run_session_inner(md):
             process_qmri(bids, md, in_vivo=True, low_field=True,
                          synthseg=SynthSegRunner(mode="fake"),
-                         registration_kwargs=dict(levels=(2, 1),
-                                                  sigmas=(1.0, 0.0),
-                                                  iters=(80, 40)))
+                         registration_kwargs=dict(reg_kwargs))
             with profiler.stage("e2e.fit"):
                 return process_t2maps(md, bids, tes, cfg, low_field=True,
                                       sim="1", make_plots=True)
@@ -1585,8 +1590,11 @@ def main(only=None):
             # gate verdict of the run (VERDICT r4 weak #1). The headline
             # stays the FINAL line for last-line parsers.
             emit_recap()
-        print(json.dumps(record))
-        sys.stdout.flush()
+        # emit(), not print(): the non-headline model rows must register
+        # in _ROWS or the recap's "every row of this run" claim is false
+        # exactly for the gate-carrying model rows (the headline emits
+        # after the recap, which is harmless)
+        emit(record)
 
 
 if __name__ == "__main__":

@@ -359,8 +359,15 @@ def parse(raw: bytes, name: str = "<bytes>",
         raise ValueError(f"{path}: invalid vox_offset {vox_offset}")
     offset = int(vox_offset) if vox_offset else _HDR_SIZE + 4
     if header_only:
-        data = np.broadcast_to(np.zeros((), dtype.newbyteorder("=")),
-                               shape_xyz[::-1])
+        # mirror the full read's dtype exactly: a scl_slope/inter header
+        # makes read() return SCALED float32 data (below), so the
+        # header-only view must be float32 too — prewarm derives program
+        # dtypes from this, and a mismatch would warm programs the
+        # session never runs
+        eff = (np.dtype(np.float32)
+               if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0)
+               else dtype.newbyteorder("="))
+        data = np.broadcast_to(np.zeros((), eff), shape_xyz[::-1])
         return _finish_parse(raw, endian, path, data, pixdim)
     try:
         # frombuffer validates count*itemsize against the buffer BEFORE

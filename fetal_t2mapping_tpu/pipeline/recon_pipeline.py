@@ -436,11 +436,18 @@ def process_qmri(bids_path: str, metadata: pd.DataFrame, *, in_vivo: bool,
         from ..utils.prewarm import geoms_from_metadata, start_recon_prewarm
 
         geoms = geoms_from_metadata(metadata, bids_path)
-        if len(geoms) == 3:
-            start_recon_prewarm(
-                geoms, n_echoes=int(metadata["EchoTime"].nunique()),
-                registration_kwargs=registration_kwargs,
-                synthseg=synthseg)
+        # "ax" is the fusion's fixed orientation (run_reconstruct_volumes
+        # fixed_type); a session whose stacks classified differently
+        # (e.g. a tilted axial read as 'custom') must SKIP the prewarm,
+        # not abort the pipeline — prewarm failures only cost the overlap
+        if len(geoms) == 3 and "ax" in geoms:
+            try:
+                start_recon_prewarm(
+                    geoms, n_echoes=int(metadata["EchoTime"].nunique()),
+                    registration_kwargs=registration_kwargs,
+                    synthseg=synthseg)
+            except Exception:
+                log.warning("prewarm skipped (setup failed)", exc_info=True)
         else:
             log.warning("prewarm skipped: found orientations %s",
                         sorted(geoms))

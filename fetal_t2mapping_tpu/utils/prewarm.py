@@ -210,15 +210,16 @@ def start_recon_prewarm(
     geoms = dict(acq_geoms)
     if fixed_type not in geoms:
         raise ValueError(f"fixed_type {fixed_type!r} not in {sorted(geoms)}")
-    box: dict = {}
+    # late-binding closure: `handle` is assigned before start(), and the
+    # lambda only resolves the name when the thread runs
     thread = threading.Thread(
-        target=lambda: _run(geoms, box["handle"], fixed_type=fixed_type,
+        target=lambda: _run(geoms, handle, fixed_type=fixed_type,
                             n_echoes=n_echoes, denoise=denoise,
                             high_res=high_res,
                             registration_kwargs=registration_kwargs,
                             labels=labels, synthseg=synthseg),
         name="ft2-prewarm", daemon=True)
-    box["handle"] = handle = PrewarmHandle(thread)
+    handle = PrewarmHandle(thread)
     with profiler.stage("recon.prewarm_start"):
         thread.start()
     return handle

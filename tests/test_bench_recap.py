@@ -19,6 +19,14 @@ def _fake_rows():
     strip."""
     stages = {f"recon.stage{i}": round(1.234 + i, 3) for i in range(18)}
     rows = [
+        {"metric": "mosaic_interpret_parity_max_rel_diff", "value": 0.00706,
+         "vs_baseline": None},
+        {"metric": "registration_rigid_192_batch4_seconds", "value": 1.219,
+         "vs_baseline": None},
+        {"metric": "registration_rigid_64_batch8_seconds", "value": 0.723,
+         "vs_baseline": None},
+        {"metric": "pipeline_e2e_marginal_seconds", "value": 1.8,
+         "vs_baseline": 83.3},
         {"metric": "t2fit_gaussian_rician_voxels_per_sec", "value": 125514736.2,
          "vs_baseline": 1122.1, "max_rel_t2_err_vs_curvefit": 0.0421,
          "median_rel_t2_err_vs_truth": 0.0094, "converged": 1.0,
@@ -70,7 +78,7 @@ def _fake_rows():
     return rows
 
 
-HEADLINE_BUDGET = 600  # a real headline row is ~450-550 chars
+HEADLINE_BUDGET = 350  # a real headline row measures 251 chars
 
 
 def test_recap_fits_driver_tail(monkeypatch, capsys):
@@ -93,7 +101,8 @@ def test_recap_fits_driver_tail(monkeypatch, capsys):
 
 
 def test_recap_rich_tier_carries_gate_scalars(monkeypatch, capsys):
-    rows = _fake_rows()[:4]  # few rows -> rich tier guaranteed to fit
+    rows = [r for r in _fake_rows()
+            if r["metric"] == "t2fit_gaussian_rician_voxels_per_sec"]
     monkeypatch.setattr(bench, "_ROWS", list(rows))
     monkeypatch.setattr(bench, "_SHED", [])
     bench.emit_recap()

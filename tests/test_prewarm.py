@@ -72,6 +72,28 @@ class TestReadHeader:
         with pytest.raises(ValueError):
             nifti.read_header(str(trunc))
 
+    def test_scaled_header_promotes_to_float32(self, tmp_path):
+        # a scl_slope/inter header makes the FULL read return scaled
+        # float32 data; the header-only view must report the same dtype
+        # (prewarm warms programs keyed on it)
+        from fetal_t2mapping_tpu.core import volcache
+
+        vol = Volume(np.arange(24, dtype=np.int16).reshape(2, 3, 4))
+        path = str(tmp_path / "scaled.nii")
+        nifti.write(path, vol, dtype=np.int16)
+        raw = bytearray(open(path, "rb").read())
+        import struct
+
+        struct.pack_into("<f", raw, 112, 2.0)   # scl_slope
+        struct.pack_into("<f", raw, 116, 1.5)   # scl_inter
+        open(path, "wb").write(bytes(raw))
+        volcache.invalidate(path)
+        full, hdr = nifti.read(path), nifti.read_header(path)
+        assert np.asarray(full.data).dtype == np.float32
+        assert np.asarray(hdr.data).dtype == np.float32
+        np.testing.assert_allclose(np.asarray(full.data).ravel()[:3],
+                                   [1.5, 3.5, 5.5])
+
     def test_pending_async_write_is_served(self, tmp_path):
         vol = Volume(np.ones((3, 4, 5), np.float32), spacing=(1, 2, 3))
         path = str(tmp_path / "q.nii.gz")
@@ -204,3 +226,15 @@ class TestProcessQmriPrewarm:
         recon = get_img_path(bids, md.iloc[0], C.RECON_DIRNAME)
         assert nifti.exists(recon)
         assert nifti.read(recon).shape[0] >= 30
+
+    def test_prewarm_skips_on_unfusable_orientations(self, tmp_path):
+        # a session without the full ax/cor/sag triple must SKIP the
+        # prewarm with a warning, never abort the pipeline (fusion skips
+        # such sessions too; prewarm failures only cost the overlap)
+        from fetal_t2mapping_tpu.pipeline.recon_pipeline import process_qmri
+
+        bids, md = self._make_tree(str(tmp_path))
+        md = md[md["ImageOrientationPatientSTR"] != "ax"]
+        process_qmri(bids, md, in_vivo=True, low_field=True,
+                     synthseg=SynthSegRunner(mode="fake"),
+                     registration_kwargs=dict(REG_FAST), prewarm=True)
