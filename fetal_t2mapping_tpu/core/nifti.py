@@ -464,13 +464,13 @@ def write(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> None:
     from . import volcache
 
     data = _cast_for_disk(vol, dtype)
-    volcache.put(path, vol.with_data(data))
+    gen = volcache.put(path, vol.with_data(data))
     try:
         _write_payload(path, np.asarray(data), vol)
     except BaseException:
         volcache.fail_write(path)     # never serve a checkpoint that failed
         raise
-    volcache.mark_written(path)
+    volcache.mark_written(path, gen)
 
 
 def write_async(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> None:
@@ -487,14 +487,14 @@ def write_async(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> Non
 
     data = _cast_for_disk(vol, dtype)
     geom = vol.with_data(data)
-    volcache.put(path, geom)
+    gen = volcache.put(path, geom)
     if not volcache.async_enabled():
         try:
             _write_payload(path, np.asarray(data), vol)
         except BaseException:
             volcache.fail_write(path)
             raise
-        volcache.mark_written(path)
+        volcache.mark_written(path, gen)
         return
     def _payload():
         # attribute the worker's two costs separately: the device->host
@@ -507,7 +507,7 @@ def write_async(path: str, vol: Volume, dtype: Optional[np.dtype] = None) -> Non
         with profiler.stage("io.encode"):
             _write_payload(path, arr, vol)
 
-    volcache.submit_write(path, _payload)
+    volcache.submit_write(path, _payload, gen)
 
 
 def _write_payload(path: str, data: np.ndarray, vol: Volume) -> None:

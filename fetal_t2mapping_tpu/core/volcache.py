@@ -31,11 +31,14 @@ Disable with ``FT2_VOLCACHE=0`` (no caching) / ``FT2_ASYNC_WRITES=0``
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import threading
 from collections import OrderedDict
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, Optional
+
+_gen_counter = itertools.count(1)   # write generations (see put/mark_written)
 
 _CACHE_MB = float(os.environ.get("FT2_VOLCACHE_MB", "1024"))
 _CACHE_ON = os.environ.get("FT2_VOLCACHE", "1") != "0"
@@ -51,13 +54,14 @@ _executor: Optional[ThreadPoolExecutor] = None
 
 
 class _Entry:
-    __slots__ = ("vol", "nbytes", "stat", "pending")
+    __slots__ = ("vol", "nbytes", "stat", "pending", "gen")
 
     def __init__(self, vol, nbytes):
         self.vol = vol
         self.nbytes = nbytes
         self.stat = None       # (st_size, st_mtime_ns) once the write landed
         self.pending = True    # write in flight (queued OR running inline)
+        self.gen = 0           # write generation (set by put; see mark_written)
         # pending starts True: between put() and mark_written() the file is
         # absent or half-written, so the cached Volume must be served and
         # the entry must survive. A put() never followed by a write would
@@ -77,20 +81,31 @@ def async_enabled() -> bool:
     return _ASYNC_ON
 
 
-def put(path, vol) -> None:
-    """Remember ``vol`` as the content of ``path`` (call before/with write)."""
+def put(path, vol) -> "int | None":
+    """Remember ``vol`` as the content of ``path`` (call before/with write).
+
+    Returns the entry's write GENERATION (monotonic per put), or None when
+    nothing was cached — :func:`mark_written` uses it to stamp only the
+    entry whose write actually landed (an overwrite bumps the generation,
+    so a completing OLDER write cannot mark the newer entry clean)."""
     if not caching_enabled():
-        return
+        return None
     global _bytes
     nbytes = int(getattr(vol.data, "nbytes", 0))
     if nbytes > _CACHE_MB * 1e6:
-        return                                    # larger than the whole cap
+        # larger than the whole cap: not cached — but a PRIOR smaller
+        # entry for this path must not survive either, or mark_written
+        # would stamp the stale entry with the NEW file's stat and get()
+        # would serve the old volume forever
+        invalidate(path)
+        return None
     k = _key(path)
     with _lock:
         old = _entries.pop(k, None)
         if old is not None:
             _bytes -= old.nbytes
         e = _Entry(vol, nbytes)
+        e.gen = next(_gen_counter)
         _entries[k] = e
         _bytes += nbytes
         # LRU eviction: never evict an entry whose write is still queued —
@@ -101,10 +116,18 @@ def put(path, vol) -> None:
             if kk == k or _entries[kk].pending:
                 continue
             _bytes -= _entries.pop(kk).nbytes
+        return e.gen
 
 
-def mark_written(path) -> None:
-    """Record the on-disk stat of a completed write for later validation."""
+def mark_written(path, gen: "int | None" = None) -> None:
+    """Record the on-disk stat of a completed write for later validation.
+
+    ``gen`` (from :func:`put`) restricts the stamp to the entry the write
+    corresponds to: when an overwrite has already replaced the entry, the
+    OLDER write's completion must neither record its stat on the newer
+    entry nor clear its pending flag (the newer entry is the only copy of
+    that checkpoint until ITS write lands, and clearing pending would make
+    it evictable in that window)."""
     if not caching_enabled():
         return
     k = _key(path)
@@ -114,7 +137,7 @@ def mark_written(path) -> None:
         return
     with _lock:
         e = _entries.get(k)
-        if e is not None:
+        if e is not None and (gen is None or e.gen == gen):
             e.stat = (st.st_size, st.st_mtime_ns)
             e.pending = False
 
@@ -184,22 +207,30 @@ def fail_write(path) -> None:
     invalidate(path)
 
 
-def submit_write(path, fn: Callable[[], None]) -> Future:
+def submit_write(path, fn: Callable[[], None],
+                 gen: "int | None" = None) -> Future:
     """Queue ``fn`` (download + encode + write of ``path``) on the writer
     pool.  Serialized per path: an overwrite of a still-queued path waits
-    for the prior write so on-disk content ordering matches call order."""
+    for the prior write so on-disk content ordering matches call order.
+    ``gen`` (from :func:`put`) ties the completion stamp to the entry this
+    write corresponds to (see :func:`mark_written`)."""
     k = _key(path)
-    prior = _pending.get(k)
-    if prior is not None:
+    fut: Future = Future()
+    # check-then-register must be atomic, and waiting on the prior must
+    # happen OUTSIDE the lock (the worker needs it to deregister): loop
+    # until this future claims the slot. Two racing writers for one path
+    # thus serialize instead of tearing the file with two pool workers.
+    while True:
+        with _lock:
+            prior = _pending.get(k)
+            if prior is None:
+                _pending[k] = fut                 # registered BEFORE the
+                                                  # worker can complete it
+                break
         try:
             prior.result()
         except Exception:
             pass                                  # already recorded in _errors
-
-    fut: Future = Future()
-    with _lock:
-        _pending[k] = fut                         # registered BEFORE the
-                                                  # worker can complete it
 
     def run():
         try:
@@ -207,7 +238,7 @@ def submit_write(path, fn: Callable[[], None]) -> Future:
 
             with profiler.stage("io.write_worker"):
                 fn()
-            mark_written(k)
+            mark_written(k, gen)
             fut.set_result(None)
         except Exception as exc:                  # surfaced at flush()
             fail_write(k)

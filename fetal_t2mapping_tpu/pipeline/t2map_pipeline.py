@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
@@ -60,13 +61,18 @@ def _enumerate_sessions(metadata: pd.DataFrame, bids_path: str,
                 log.warning("one or more selected TEs missing for %s_%s: %s vs %s; skipped",
                             sub, ses, te_found, list(tes))
                 continue
-            missing = [p for p in recon_paths + mask_paths if not nifti.exists(p)]
+            label_path = (get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME)
+                          if phantom else None)
+            # label_path joins the check: a phantom session whose sphere
+            # labels were never built must SKIP with the same warning, not
+            # crash inside the prefetch thread at _load_session
+            needed = recon_paths + mask_paths + ([label_path] if label_path
+                                                 else [])
+            missing = [p for p in needed if not nifti.exists(p)]
             if missing:
                 log.warning("derivatives missing for %s_%s (run the recon stage "
                             "first): %s; skipped", sub, ses, missing[0])
                 continue
-            label_path = (get_img_path(bids_path, acq, C.PHANTOM_LABELS_DIRNAME)
-                          if phantom else None)
             jobs.append({"prj": prj, "sub": sub, "ses": ses, "acq": acq,
                          "te_found": te_found, "recon_paths": recon_paths,
                          "mask_paths": mask_paths, "label_path": label_path})
@@ -110,6 +116,9 @@ def process_t2maps(
     """
     tes = list(tes)
     tes_in_seconds = [t / 1000.0 for t in tes]
+    # EXACT-match TE selection is deliberate reference parity
+    # (run_t2mapping.py:351 uses the same float isin): a scanner TE that
+    # is not an integral millisecond never matches there either
     metadata = metadata[metadata["EchoTime"].isin(tes_in_seconds)]
     jobs = _enumerate_sessions(metadata, bids_path, tes, phantom)
     if not jobs:
@@ -131,6 +140,10 @@ def process_t2maps(
                                       fast=fast, sim=sim, make_plots=make_plots,
                                       mesh=mesh))
     finally:
+        # an exception from the fit loop is the PRIMARY failure: cleanup
+        # errors below (plot render, flush) are logged, not raised, so
+        # they never replace it on the way out
+        unwinding = sys.exc_info()[0] is not None
         if ex:
             # if _fit_one raised for session i, the already-submitted
             # prefetch for i+1 is abandoned: consume it so shutdown doesn't
@@ -146,8 +159,17 @@ def process_t2maps(
         # a plot-render failure must not skip the map-write flush
         try:
             _drain_plots()
+        except Exception:
+            if not unwinding:
+                raise
+            log.exception("plot render failed during error unwind")
         finally:
-            nifti.flush_writes()
+            try:
+                nifti.flush_writes()
+            except Exception:
+                if not unwinding:
+                    raise
+                log.exception("write flush failed during error unwind")
     return summaries
 
 

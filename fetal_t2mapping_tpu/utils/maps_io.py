@@ -33,6 +33,13 @@ def save_nifti_maps(out, bids_path: str, acq: Mapping, t2map_dirname: str,
     overlap the caller's next work (and each other — the native writer
     and zlib release the GIL). The pipeline flushes before returning."""
     base = get_img_path(bids_path, acq, t2map_dirname)
+    if "t2map.nii.gz" not in base:
+        # the substring replace below would silently no-op and queue all
+        # four maps onto ONE identical path (three maps lost to the
+        # serialized writer) — fail loudly instead
+        raise ValueError(
+            f"t2map_dirname {t2map_dirname!r} resolves to {base!r}, which "
+            "does not end in 't2map.nii.gz'; cannot derive map filenames")
     jobs = []
     for vol, param in zip((out.t2, out.k, out.sigma, out.res), ("t2", "k", "sigma", "res")):
         path = base.replace("t2map.nii.gz", f"sim-{sim}_{param}map_ada-{fit}.nii.gz")
@@ -45,7 +52,13 @@ def save_nifti_maps(out, bids_path: str, acq: Mapping, t2map_dirname: str,
 def phantom_roi_stats(t2_map: np.ndarray, k_map: np.ndarray, sigma_map: np.ndarray,
                       label: np.ndarray, ids: Sequence[str],
                       gt: Sequence[float]) -> pd.DataFrame:
-    """Per-sphere nanmean/nanstd of the fitted maps vs ground-truth T2."""
+    """Per-sphere nanmean/nanstd of the fitted maps vs ground-truth T2.
+
+    Labeled voxels the fit mask excluded hold 0.0 in the maps and ARE
+    averaged in — deliberate reference parity: the reference zero-fills
+    its maps (run_t2mapping.py:415) and nanmeans over ``label==i``
+    unmasked (utils/t2map_utils.py:40), so its sphere means include the
+    same zeros. Pre-mask the label volume to change that."""
     rows = []
     for i, (sphere, true_t2) in enumerate(zip(ids, gt), start=1):
         sel = label == i

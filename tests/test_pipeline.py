@@ -192,6 +192,17 @@ class TestPhantomPipeline:
                                    phantom=True, sim="t", make_plots=False)
         assert summaries == []
 
+    def test_missing_phantom_labels_skip_session(self, tmp_path):
+        # phantom mode without built sphere labels must skip with the
+        # derivatives-missing warning, not crash in the prefetch thread
+        root = str(tmp_path / "qMRI")
+        bids, logs, _ = _make_phantom_tree(root)
+        metadata = set_metadata(logs, ["synthetic.csv"], low_field=True)
+        cfg = C.fit_config("gaussian", low_field=True)
+        summaries = process_t2maps(metadata, bids, TES, cfg, phantom=True,
+                                   sim="t", make_plots=False)
+        assert summaries == []
+
     def test_fast_mode_roi_only(self, tmp_path):
         root = str(tmp_path / "qMRI")
         bids, logs, labels = _make_phantom_tree(root)

@@ -358,3 +358,60 @@ def test_fake_synthseg_segments_queued_recons(tmp_path):
     assert os.path.exists(str(out_dir / "s1_recon_synthseg.nii.gz"))
     labels = np.asarray(nifti.read(str(out_dir / "s1_recon_synthseg.nii.gz")).data)
     assert set(np.unique(labels)) == {0, 2, 3}
+
+
+def test_oversize_overwrite_drops_stale_small_entry(tmp_path, monkeypatch):
+    """A small cached entry must NOT survive an over-cap overwrite of the
+    same path: mark_written would stamp the stale entry with the NEW
+    file's stat and get() would serve the old voxels forever."""
+    p = str(tmp_path / "grow.nii.gz")
+    nifti.write(p, _vol(1.0))                           # small: cached
+    assert volcache.get(p) is not None
+    monkeypatch.setattr(volcache, "_CACHE_MB", 0.001)   # 1 KB cap
+    nifti.write(p, _vol(2.0, shape=(16, 16, 16)))       # over-cap rewrite
+    nifti.flush_writes()
+    assert volcache.get(p) is None                      # stale entry gone
+    r = nifti.read(p)                                   # disk: NEW content
+    assert float(np.asarray(r.data).ravel()[0]) == 2.0
+    assert r.shape == (16, 16, 16)
+
+
+def test_mark_written_is_generation_scoped(tmp_path):
+    """An OLDER write's completion must not mark a NEWER queued entry
+    clean: the newer entry is the only copy of its checkpoint until its
+    own write lands (eviction-safety invariant)."""
+    p = str(tmp_path / "gen.nii.gz")
+    gen1 = volcache.put(p, _vol(1.0))
+    gen2 = volcache.put(p, _vol(2.0))
+    assert gen2 > gen1
+    # old write completes late: must NOT clear the new entry's pending
+    open(p, "wb").write(b"x")                 # a file so os.stat succeeds
+    volcache.mark_written(p, gen1)
+    with volcache._lock:
+        e = volcache._entries[volcache._key(p)]
+        assert e.pending is True              # still awaiting gen2's write
+    volcache.mark_written(p, gen2)
+    with volcache._lock:
+        e = volcache._entries[volcache._key(p)]
+        assert e.pending is False
+    volcache.invalidate(p)
+
+
+def test_concurrent_write_async_same_path_serializes(tmp_path):
+    """Racing write_asyncs for one path must never run two pool workers on
+    the same file (check-then-register is atomic under the lock); the
+    final on-disk content is one of the queued volumes, intact."""
+    import threading
+
+    p = str(tmp_path / "race.nii.gz")
+    vals = list(range(1, 9))
+    threads = [threading.Thread(target=nifti.write_async,
+                                args=(p, _vol(float(v)))) for v in vals]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    nifti.flush_writes()
+    volcache.clear()                          # force the DISK read
+    r = nifti.read(p)                         # parses => file not torn
+    assert float(np.asarray(r.data).ravel()[0]) in [float(v) for v in vals]
